@@ -1,38 +1,50 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full schema+constraint validation of an
+interleaved-doc table (derived deterministically from the sf0.001
+documents table) against a mutated sink copy → per-partition verdict
+grid.
+
+``queries()`` / ``oracle_sql()`` — operator catalog with DuckDB
+oracles; implementations live in
+opengauss_tools_datachecker_performance_spark/entry_queries.py.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: validate docs-vs-mutated-sink at sf0.001 → verdicts."""
+    from opengauss_tools_datachecker_performance_spark.plans.runner import validate_docs
+    from opengauss_tools_datachecker_performance_spark.sources.docs_builder import (
+        assets_catalog,
+        docs_from_documents,
+        mutate_docs,
+    )
+
+    documents = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = docs_from_documents(documents)
+    sink = mutate_docs(docs)
+    assets = assets_catalog(spark)
+    res = validate_docs(docs, sink, assets)
+    return res.verdicts
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from opengauss_tools_datachecker_performance_spark.entry_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from opengauss_tools_datachecker_performance_spark.entry_queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,112 @@
+"""Canonicalization: every value → deterministic string.
+
+The reference's single most semantics-laden layer: two rows are equal
+iff their canonical strings are equal.  Per-type rules from
+datachecker-extract/.../task/functional/SimpleTypeHandlerFactory.java
+(see SURVEY.md §1.2 for the file:line table).  Re-expressed here as
+vectorized Catalyst expressions — no per-row handler objects, no
+Python: the whole canonical projection stays inside whole-stage
+codegen.
+
+Rules implemented (reference file:line in each function):
+- strings: identity                       (SimpleTypeHandlerFactory.java:138-140)
+- integers: plain decimal string          (:368-402)
+- decimal(p,s): toPlainString             (:434-452)
+- float/double w/ scale: %.<scale>f       (:63-75,262-358)
+- boolean: true/false                     (:520-522)
+- binary/blob: upper hex                  (:489-510; HexUtil.java)
+- date: yyyy-MM-dd                        (:49,182-187)
+- timestamp(scale): yyyy-MM-dd HH:mm:ss[.f*scale]  (:165-172,553-563)
+- NULL: stays SQL NULL at this layer; it is mapped to "" only inside
+  digests (HashHandler.java:58) — preserving the reference's split
+  between the canonical map (null) and the hash input ("").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def canon_string(c: Column) -> Column:
+    return c.cast("string")
+
+
+def canon_integer(c: Column) -> Column:
+    return c.cast("long").cast("string")
+
+
+def canon_decimal(c: Column) -> Column:
+    # Spark decimal → string never produces scientific notation and
+    # keeps the declared scale, matching toPlainString() semantics.
+    return c.cast("string")
+
+
+def canon_float(c: Column, scale: int | None = None) -> Column:
+    """Float/double: fixed ``scale`` digits when declared, else the
+    shortest round-trip string (Spark's default double→string)."""
+    if scale is not None:
+        # format_number inserts thousands separators; strip them to
+        # match the reference's %.<scale>f (SimpleTypeHandlerFactory.java:63-75).
+        return F.regexp_replace(F.format_number(c.cast("double"), scale), ",", "")
+    return c.cast("double").cast("string")
+
+
+def canon_boolean(c: Column) -> Column:
+    return c.cast("boolean").cast("string")
+
+
+def canon_binary(c: Column) -> Column:
+    """bytes → upper-case hex (HexUtil + SimpleTypeHandlerFactory.java:489-510)."""
+    return F.upper(F.hex(c))
+
+
+def canon_date(c: Column) -> Column:
+    return F.date_format(c.cast("date"), "yyyy-MM-dd")
+
+
+def canon_timestamp(c: Column, scale: int = 0) -> Column:
+    """Timestamp at fractional ``scale`` 0..6 (DateTimeFormatterMap.java:38-60)."""
+    fmt = "yyyy-MM-dd HH:mm:ss" + ("." + "S" * scale if scale > 0 else "")
+    return F.date_format(c.cast("timestamp"), fmt)
+
+
+_BY_TYPE = {
+    T.StringType: canon_string,
+    T.IntegerType: canon_integer,
+    T.LongType: canon_integer,
+    T.ShortType: canon_integer,
+    T.ByteType: canon_integer,
+    T.BooleanType: canon_boolean,
+    T.BinaryType: canon_binary,
+    T.DateType: canon_date,
+}
+
+
+def canon_expr(field: T.StructField) -> Column:
+    """Canonical-string expression for one schema field."""
+    c = F.col(field.name)
+    dt = field.dataType
+    if isinstance(dt, T.DecimalType):
+        return canon_decimal(c)
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return canon_float(c)
+    if isinstance(dt, T.TimestampType):
+        return canon_timestamp(c)
+    fn = _BY_TYPE.get(type(dt))
+    if fn is not None:
+        return fn(c)
+    # arrays/structs/maps: canonical JSON (sorted span handling is done
+    # upstream in digest.span_sequence_canonical, not here)
+    return F.to_json(c)
+
+
+def canonical_projection(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Project every column (or ``cols``) to its canonical string,
+    keeping names — the Spark analogue of the reference's
+    ResultSetHandler.putOneResultSetToMap (ResultSetHandler.java:83-101),
+    but columnar."""
+    fields = {f.name: f for f in df.schema.fields}
+    names = cols or [f.name for f in df.schema.fields]
+    return df.select(*[canon_expr(fields[n]).alias(n) for n in names])

@@ -1,0 +1,182 @@
+"""The diff core: classify source-vs-sink rows into insert/update/delete.
+
+Reference: Maps.difference over two in-heap bucket maps
+(datachecker-check/.../modules/check/DataCheckRunnable.java:332-344;
+slice variant .../slice/SliceCheckWorker.java:263-289):
+  - entriesOnlyOnLeft  (source only)        → **insert** set
+  - entriesOnlyOnRight (sink only)          → **delete** set
+  - entriesDiffering   (vHash mismatch)     → **update** set
+
+Here it is one full-outer hash join on ``key`` with a CASE
+classification — Catalyst picks broadcast/shuffled-hash/sort-merge,
+AQE splits skewed keys.
+
+**Two-phase pruning (X2)** re-creates the reference's Merkle descent
+(SliceCheckWorker.java:291-307): compare O(#buckets) XOR signatures
+first, then run the row-level join only over rows whose bucket
+signature mismatched.  At 100 TB with sparse diffs this is the
+difference between shuffling every row and shuffling ~(diff rate ×
+rows): the bucket-signature agg is map-side-combined (bit_xor is
+commutative), the signature join is tiny (≤ 2^n buckets), and the
+semi-join pushes the surviving bucket set back into both scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from opengauss_tools_datachecker_performance_spark.digest import (
+    DEFAULT_NUM_BUCKETS,
+    bucket_signatures,
+    doc_digests,
+    row_digests,
+)
+
+#: classification labels — the reference's CheckDiffResult key sets
+#: (keyInsertSet / keyUpdateSet / keyDeleteSet, CheckDiffResult.java:55-130)
+INSERT, UPDATE, DELETE = "insert", "update", "delete"
+
+
+def classify_diff(src_digest: DataFrame, sink_digest: DataFrame) -> DataFrame:
+    """Full-outer join of two ``(key, v_hash, ...)`` digest frames →
+    ``(key, diff_type)`` rows, one per differing key (J1)."""
+    s = src_digest.select("key", F.col("v_hash").alias("src_v"))
+    t = sink_digest.select("key", F.col("v_hash").alias("sink_v"))
+    joined = s.join(t, "key", "full_outer")
+    return (
+        joined.select(
+            "key",
+            F.when(F.col("sink_v").isNull(), F.lit(INSERT))
+            .when(F.col("src_v").isNull(), F.lit(DELETE))
+            .when(F.col("src_v") != F.col("sink_v"), F.lit(UPDATE))
+            .alias("diff_type"),
+        )
+        .filter(F.col("diff_type").isNotNull())
+    )
+
+
+def mismatched_buckets(src_digest: DataFrame, sink_digest: DataFrame) -> DataFrame:
+    """Digest-level pruning join: bucket ids whose XOR signature or row
+    count differs between sides (J3).  Missing-on-one-side buckets
+    survive too (full-outer — subsumes the reference's empty-bucket
+    alignment, DataCheckRunnable.java:221-233)."""
+    a = bucket_signatures(src_digest).withColumnsRenamed(
+        {"sig": "src_sig", "n_rows": "src_n"}
+    )
+    b = bucket_signatures(sink_digest).withColumnsRenamed(
+        {"sig": "sink_sig", "n_rows": "sink_n"}
+    )
+    return (
+        a.join(b, "bucket", "full_outer")
+        .filter(
+            F.col("src_sig").isNull()
+            | F.col("sink_sig").isNull()
+            | (F.col("src_sig") != F.col("sink_sig"))
+            | (F.col("src_n") != F.col("sink_n"))
+        )
+        .select("bucket")
+    )
+
+
+def diff_digests(
+    src_digest: DataFrame,
+    sink_digest: DataFrame,
+    two_phase: bool = True,
+) -> DataFrame:
+    """Diff two digest frames → ``(key, diff_type)``.
+
+    ``two_phase=True`` (default, the scale path) prunes equal-signature
+    buckets before the row-level join; ``False`` is the direct join
+    (used by tests to cross-check the pruning is lossless).
+    """
+    if two_phase:
+        bad = mismatched_buckets(src_digest, sink_digest)
+        # bucket set is small (≤ #buckets) → broadcast the semi-join
+        src_digest = src_digest.join(F.broadcast(bad), "bucket", "left_semi")
+        sink_digest = sink_digest.join(F.broadcast(bad), "bucket", "left_semi")
+    return classify_diff(src_digest, sink_digest)
+
+
+def diff_tables(
+    src: DataFrame,
+    sink: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str] | None = None,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    two_phase: bool = True,
+) -> DataFrame:
+    """End-to-end flat-table diff: digest both sides, prune, classify."""
+    return diff_digests(
+        row_digests(src, key_cols, value_cols, num_buckets),
+        row_digests(sink, key_cols, value_cols, num_buckets),
+        two_phase=two_phase,
+    )
+
+
+def diff_docs(
+    src_docs: DataFrame,
+    sink_docs: DataFrame,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    two_phase: bool = True,
+) -> DataFrame:
+    """Interleaved-doc diff on span-sequence digests → (key, diff_type)."""
+    return diff_digests(
+        doc_digests(src_docs, num_buckets=num_buckets),
+        doc_digests(sink_docs, num_buckets=num_buckets),
+        two_phase=two_phase,
+    )
+
+
+def first_divergent_span(
+    src_docs: DataFrame,
+    sink_docs: DataFrame,
+    updated_keys: DataFrame,
+    doc_id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """For ``update`` diffs, locate the offending span: the first index
+    where the two canonical span sequences diverge (or the shorter
+    length if one is a prefix).  Analogue of the reference's
+    Difference.idx CSV row locator (.../entry/check/Difference.java:27-33),
+    refined to span granularity per the north rule (violation rows =
+    doc_id + constraint + span index).
+
+    Pure Catalyst: zip_with over the two sorted span arrays, then the
+    first false position — no Python.
+    """
+    from opengauss_tools_datachecker_performance_spark.digest import (
+        span_sequence_canonical_col,
+        _sorted_spans,
+    )
+
+    s = src_docs.select(
+        F.col(doc_id_col).cast("string").alias("key"),
+        _sorted_spans(F.col(spans_col)).alias("src_spans"),
+    ).join(updated_keys.select("key"), "key", "left_semi")
+    t = sink_docs.select(
+        F.col(doc_id_col).cast("string").alias("key"),
+        _sorted_spans(F.col(spans_col)).alias("sink_spans"),
+    ).join(updated_keys.select("key"), "key", "left_semi")
+    j = s.join(t, "key", "inner")
+    eq = F.zip_with(
+        F.col("src_spans"),
+        F.col("sink_spans"),
+        lambda a, b: (
+            a["kind"].eqNullSafe(b["kind"])
+            & a["text"].eqNullSafe(b["text"])
+            & a["media_ref"].eqNullSafe(b["media_ref"])
+        ).cast("int"),
+    )
+    # zip_with pads the shorter array with null structs; eqNullSafe
+    # against a null-struct field yields false, so extra spans on
+    # either side read as mismatches too. If no element mismatches
+    # (digest differed only via the null=='' quirk boundary), report
+    # the shorter length as the divergence point.
+    first_bad = F.array_position(eq, F.lit(0)).cast("int")
+    return j.select(
+        "key",
+        F.when(first_bad > 0, first_bad - 1)
+        .otherwise(F.least(F.size("src_spans"), F.size("sink_spans")))
+        .alias("span_idx"),
+    )
