@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline operators at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric", "value" (total sec), "unit": "sec",
+"queries": {name: sec}, "sf", plus docs/sec extras}.
+
+The flagship measurement is the full interleaved-doc validation
+(digest tree + diff + uniqueness + referential + null rule + drift)
+over a deterministic synthetic corpus (synth.py, cached as parquet
+under .bench_cache/) — the north-rule metric is validated docs/sec.
+Scaling evidence (N vs 4N cores) comes from running this same script
+at two SPARK_GRAFT_CPUS values; see scripts/bench_scaling.py and
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from opengauss_tools_datachecker_performance_spark import get_spark  # noqa: E402
+
+# corpus size for the flagship validation bench (deterministic; cached).
+# Docs are heavier than the pytest corpus (8-23 words × 4-13 spans ≈
+# 0.8 KB/doc) so the bench is compute-bound, not stage-latency-bound.
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "3000000"))
+N_PARTS = 64
+_HEAVY = dict(min_spans=4, spans_spread=10, min_words=8, words_spread=16)
+
+
+def _ensure_corpus(spark, cache_dir: str) -> str:
+    """Generate-and-cache the synthetic doc corpus (once per N_DOCS)."""
+    out = os.path.join(cache_dir, f"docs_v2_{N_DOCS}")
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        from opengauss_tools_datachecker_performance_spark.synth import write_corpus
+
+        write_corpus(
+            spark, out, n_docs=N_DOCS, n_assets=max(500, N_DOCS // 100),
+            n_partitions=N_PARTS, **_HEAVY,
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def bench_validate_docs(spark, corpus_dir: str) -> tuple[float, dict]:
+    from opengauss_tools_datachecker_performance_spark.plans.runner import validate_docs
+
+    src = spark.read.parquet(f"{corpus_dir}/docs_source.parquet")
+    sink = spark.read.parquet(f"{corpus_dir}/docs_sink.parquet")
+    assets = spark.read.parquet(f"{corpus_dir}/assets.parquet")
+    t0 = time.monotonic()
+    res = validate_docs(src, sink, assets)
+    # single action: the verdict grid already carries per-cell violation
+    # counts, so one collect drives the whole DAG
+    rows = res.verdicts.collect()
+    dt = time.monotonic() - t0
+    n_viol = sum(r["n_violations"] for r in rows if r["constraint"] != "drift")
+    n_fail = sum(1 for r in rows if r["status"] == "fail")
+    for df in (res.violations, res.extras.get("digests_source"), res.extras.get("digests_sink")):
+        if df is not None:
+            df.unpersist()
+    return dt, {"n_violations": n_viol, "n_failed_verdicts": n_fail}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+    spark = get_spark(
+        app_name=f"bench-{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=max(int(cpus) * 2, 32),
+    )
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    corpus_dir = _ensure_corpus(spark, cache_dir)
+
+    queries: dict[str, float] = {}
+    extras: dict = {}
+
+    # flagship: full doc validation (north-rule metric)
+    dt, info = bench_validate_docs(spark, corpus_dir)
+    queries["validate_docs"] = round(dt, 3)
+    extras.update(info)
+    extras["n_docs"] = N_DOCS
+    extras["docs_per_sec"] = round(N_DOCS / dt, 1)
+
+    # operator benches over the driver testdata tables
+    from opengauss_tools_datachecker_performance_spark.entry_queries import QUERIES
+
+    for name in [
+        "diff_full_outer",
+        "digest_buckets",
+        "uniqueness_check",
+        "referential_check",
+        "column_stats",
+    ]:
+        t0 = time.monotonic()
+        QUERIES[name](spark, sf_dir).count()
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "cpus": int(cpus),
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -31,15 +31,17 @@ def referential_violations(docs: DataFrame, assets: DataFrame) -> DataFrame:
     span pointing at a missing asset, with its offset-order index."""
     from opengauss_tools_datachecker_performance_spark.digest import _sorted_spans
 
+    carry = [c for c in ("part",) if c in docs.columns]
     spans = (
         docs.select(
             F.col("doc_id").cast("string").alias("key"),
+            *carry,
             F.posexplode(_sorted_spans(F.col("spans"))).alias("span_idx", "span"),
         )
         .filter((F.col("span.kind") == "media") & F.col("span.media_ref").isNotNull())
-        .select("key", "span_idx", F.col("span.media_ref").alias("media_ref"))
+        .select("key", *carry, "span_idx", F.col("span.media_ref").alias("media_ref"))
     )
     bad_refs = dangling_media_refs(docs, assets)
     return spans.join(F.broadcast(bad_refs), "media_ref", "left_semi").select(
-        "key", F.lit("referential").alias("constraint"), "span_idx", "media_ref"
+        "key", F.lit("referential").alias("constraint"), "span_idx", "media_ref", *carry
     )

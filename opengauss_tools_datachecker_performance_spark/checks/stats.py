@@ -79,10 +79,12 @@ def span_null_text_violations(docs: DataFrame) -> DataFrame:
     the generate)."""
     from opengauss_tools_datachecker_performance_spark.digest import _sorted_spans
 
+    carry = [c for c in ("part",) if c in docs.columns]
     with_idx = docs.select(
         F.col("doc_id").cast("string").alias("key"),
+        *carry,
         F.posexplode(_sorted_spans(F.col("spans"))).alias("span_idx", "span"),
     )
     return with_idx.filter(
         (F.col("span.kind") == "text") & F.col("span.text").isNull()
-    ).select("key", F.lit("null_text").alias("constraint"), "span_idx")
+    ).select("key", F.lit("null_text").alias("constraint"), "span_idx", *carry)

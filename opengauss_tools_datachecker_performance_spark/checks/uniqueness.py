@@ -48,6 +48,24 @@ def duplicate_keys(df: DataFrame, key: Column, hash_narrow: bool = True) -> Data
     )
 
 
+def duplicate_keys_from_digests(digests: DataFrame) -> DataFrame:
+    """Same check over an existing ``(key, k_hash, ...)`` digest frame —
+    reuses the digest layer's k_hash as the narrowing hash, so the
+    uniqueness check adds zero extra scans of the base table.
+    Returns (key, n_occurrences[, part=min part seen])."""
+    candidates = (
+        digests.groupBy("k_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("k_hash")
+    )
+    narrowed = digests.join(F.broadcast(candidates), "k_hash", "left_semi")
+    aggs = [F.count(F.lit(1)).alias("n_occurrences")]
+    if "part" in digests.columns:
+        aggs.append(F.min("part").alias("part"))
+    return narrowed.groupBy("key").agg(*aggs).filter(F.col("n_occurrences") > 1)
+
+
 def approx_duplicate_rate(df: DataFrame, key: Column) -> DataFrame:
     """Monitoring-only HLL estimate: (n_rows, approx_distinct,
     approx_dup_rate). Never used to gate the exact check."""

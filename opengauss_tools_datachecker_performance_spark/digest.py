@@ -39,10 +39,13 @@ from opengauss_tools_datachecker_performance_spark.functions.hashing import (
     v_hash,
 )
 
-#: default bucket count per the reference's 2^15 Merkle-leaf cap
-#: (BuilderBucketHandler.java:37-41). At 10^12 docs we'd raise this;
-#: it only affects pruning granularity, not correctness.
-DEFAULT_NUM_BUCKETS = 1 << 12
+#: default bucket count — the reference caps Merkle trees at 2^15
+#: leaves PER SLICE (BuilderBucketHandler.java:37-41, expect-capacity 1
+#: row/bucket); our tree is table-global, so the default is sized so
+#: that at ~1% violation density most buckets stay clean and the
+#: digest-level pruning actually prunes. Only affects pruning
+#: granularity, never correctness.
+DEFAULT_NUM_BUCKETS = 1 << 16
 
 #: record/unit separators for span-sequence canonical strings
 _UNIT_SEP = ""
@@ -111,9 +114,12 @@ def doc_digests(
     doc_id_col: str = "doc_id",
     spans_col: str = "spans",
     num_buckets: int = DEFAULT_NUM_BUCKETS,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Interleaved-doc digests: ``(key, k_hash, v_hash, bucket)`` where
-    ``v_hash`` is the span-sequence digest."""
+    ``v_hash`` is the span-sequence digest.  ``carry_cols`` (e.g. the
+    physical partition column) ride along so downstream verdicts don't
+    need a key→partition join."""
     key = F.col(doc_id_col).cast("string")
     kh = k_hash(key)
     return docs.select(
@@ -121,6 +127,7 @@ def doc_digests(
         kh.alias("k_hash"),
         F.xxhash64(span_sequence_canonical_col(F.col(spans_col))).alias("v_hash"),
         bucket_of(kh, num_buckets).alias("bucket"),
+        *[F.col(c) for c in (carry_cols or [])],
     )
 
 

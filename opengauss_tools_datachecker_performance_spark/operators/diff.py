@@ -38,11 +38,22 @@ from opengauss_tools_datachecker_performance_spark.digest import (
 INSERT, UPDATE, DELETE = "insert", "update", "delete"
 
 
-def classify_diff(src_digest: DataFrame, sink_digest: DataFrame) -> DataFrame:
+def classify_diff(
+    src_digest: DataFrame,
+    sink_digest: DataFrame,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
     """Full-outer join of two ``(key, v_hash, ...)`` digest frames →
-    ``(key, diff_type)`` rows, one per differing key (J1)."""
-    s = src_digest.select("key", F.col("v_hash").alias("src_v"))
-    t = sink_digest.select("key", F.col("v_hash").alias("sink_v"))
+    ``(key, diff_type)`` rows, one per differing key (J1).
+    ``carry_cols`` present on both inputs are carried through with
+    COALESCE(src, sink) — e.g. the partition column."""
+    carry = carry_cols or []
+    s = src_digest.select(
+        "key", F.col("v_hash").alias("src_v"), *[F.col(c).alias(f"src_{c}") for c in carry]
+    )
+    t = sink_digest.select(
+        "key", F.col("v_hash").alias("sink_v"), *[F.col(c).alias(f"sink_{c}") for c in carry]
+    )
     joined = s.join(t, "key", "full_outer")
     return (
         joined.select(
@@ -51,38 +62,48 @@ def classify_diff(src_digest: DataFrame, sink_digest: DataFrame) -> DataFrame:
             .when(F.col("src_v").isNull(), F.lit(DELETE))
             .when(F.col("src_v") != F.col("sink_v"), F.lit(UPDATE))
             .alias("diff_type"),
+            *[
+                F.coalesce(F.col(f"src_{c}"), F.col(f"sink_{c}")).alias(c)
+                for c in carry
+            ],
         )
         .filter(F.col("diff_type").isNotNull())
     )
 
 
 def mismatched_buckets(src_digest: DataFrame, sink_digest: DataFrame) -> DataFrame:
-    """Digest-level pruning join: bucket ids whose XOR signature or row
-    count differs between sides (J3).  Missing-on-one-side buckets
-    survive too (full-outer — subsumes the reference's empty-bucket
-    alignment, DataCheckRunnable.java:221-233)."""
-    a = bucket_signatures(src_digest).withColumnsRenamed(
-        {"sig": "src_sig", "n_rows": "src_n"}
+    """Digest-level pruning (J3): bucket ids whose XOR signature or row
+    count differs between sides.
+
+    Single-exchange formulation: instead of aggregating each side and
+    full-outer-joining the signature frames (3 sequential exchanges),
+    union the digest frames with a side tag and aggregate once —
+    side-splitting XOR/count via conditional aggregates.  Buckets
+    missing on one side fall out naturally (count 0 ≠ count n), which
+    subsumes the reference's empty-bucket alignment
+    (DataCheckRunnable.java:221-233)."""
+    tagged = src_digest.select("bucket", "v_hash", F.lit(0).alias("side")).unionAll(
+        sink_digest.select("bucket", "v_hash", F.lit(1).alias("side"))
     )
-    b = bucket_signatures(sink_digest).withColumnsRenamed(
-        {"sig": "sink_sig", "n_rows": "sink_n"}
+    per_bucket = tagged.groupBy("bucket").agg(
+        F.expr("bit_xor(CASE WHEN side = 0 THEN v_hash END)").alias("src_sig"),
+        F.expr("bit_xor(CASE WHEN side = 1 THEN v_hash END)").alias("sink_sig"),
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("src_n"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("sink_n"),
     )
-    return (
-        a.join(b, "bucket", "full_outer")
-        .filter(
-            F.col("src_sig").isNull()
-            | F.col("sink_sig").isNull()
-            | (F.col("src_sig") != F.col("sink_sig"))
-            | (F.col("src_n") != F.col("sink_n"))
-        )
-        .select("bucket")
-    )
+    return per_bucket.filter(
+        F.col("src_sig").isNull()
+        | F.col("sink_sig").isNull()
+        | (F.col("src_sig") != F.col("sink_sig"))
+        | (F.col("src_n") != F.col("sink_n"))
+    ).select("bucket")
 
 
 def diff_digests(
     src_digest: DataFrame,
     sink_digest: DataFrame,
     two_phase: bool = True,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Diff two digest frames → ``(key, diff_type)``.
 
@@ -95,7 +116,7 @@ def diff_digests(
         # bucket set is small (≤ #buckets) → broadcast the semi-join
         src_digest = src_digest.join(F.broadcast(bad), "bucket", "left_semi")
         sink_digest = sink_digest.join(F.broadcast(bad), "bucket", "left_semi")
-    return classify_diff(src_digest, sink_digest)
+    return classify_diff(src_digest, sink_digest, carry_cols=carry_cols)
 
 
 def diff_tables(

@@ -1,0 +1,149 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths per the build brief:
+
+* **brute-force cosine top-k** — the exactness baseline: query set ×
+  corpus join, JVM-side dot products (zip_with + aggregate — no
+  Python), window top-k.  Right answer at any scale where
+  |queries| × |corpus| fits the cluster; the query side is broadcast.
+* **LSH-bucketed ANN** — the scale path: random-hyperplane signatures
+  (sign bits of deterministic ±1 hyperplanes derived from the
+  portable hash of (plane, dim) — no RNG, reproducible anywhere),
+  candidate generation by bucket equality (optionally multi-probe on
+  1-bit flips), exact re-scoring of candidates only.  Recall is
+  tunable via n_planes / n_tables; candidates per query shrink by
+  ~2^n_planes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from opengauss_tools_datachecker_performance_spark.functions.hashing import (
+    portable_hash64,
+)
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two numeric arrays, left-to-right accumulation
+    (deterministic summation order — matters for cross-engine parity)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """→ (query_id, neighbor_id, rank): exact top-k cosine neighbors
+    (self excluded). Ties broken by neighbor_id for determinism. The
+    query side is broadcast — corpus never shuffles."""
+    q = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def hyperplane_signature(vec: Column, dims: int, n_planes: int, table: int = 0) -> Column:
+    """Deterministic random-hyperplane LSH signature (int bucket id).
+
+    Plane p's weight for dimension d is ±1 by the parity of the
+    portable hash of 'table:p:d' — computed at PLAN TIME into literal
+    arrays, so executors evaluate a pure arithmetic expression."""
+    import hashlib
+
+    def w(p: int, d: int) -> int:
+        h = hashlib.md5(f"{table}:{p}:{d}".encode()).hexdigest()
+        return 1 if int(h[:15], 16) % 2 == 1 else -1
+
+    bits = []
+    for p in range(n_planes):
+        weights = F.array(*[F.lit(float(w(p, d))) for d in range(dims)])
+        proj = dot(vec, weights)
+        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig.cast("int")
+
+
+def lsh_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dims: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 2,
+) -> DataFrame:
+    """Approximate top-k: per hash table, candidates = same-bucket
+    vectors; exact cosine re-score of the candidate union.
+    → (query_id, neighbor_id, rank)."""
+    q = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    cand = None
+    for t in range(n_tables):
+        qb = q.withColumn("bucket", hyperplane_signature(F.col("qv"), dims, n_planes, t))
+        cb = c.withColumn("bucket", hyperplane_signature(F.col("cv"), dims, n_planes, t))
+        pairs = cb.join(F.broadcast(qb), "bucket").filter(
+            F.col("neighbor_id") != F.col("query_id")
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    scored = (
+        cand.select("query_id", "neighbor_id", "qv", "cv")
+        .distinct()
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -23,24 +23,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from opengauss_tools_datachecker_performance_spark.checks.drift import (
-    doc_text_length,
     drift_by_quantiles,
-)
-from opengauss_tools_datachecker_performance_spark.checks.referential import (
-    referential_violations,
 )
 from opengauss_tools_datachecker_performance_spark.checks.schema_check import (
     DOCS_SCHEMA,
     check_schema,
 )
-from opengauss_tools_datachecker_performance_spark.checks.stats import (
-    span_null_text_violations,
+from opengauss_tools_datachecker_performance_spark.checks.span_rules import (
+    span_rule_violations,
 )
 from opengauss_tools_datachecker_performance_spark.checks.uniqueness import (
-    uniqueness_violations,
+    duplicate_keys_from_digests,
 )
+from opengauss_tools_datachecker_performance_spark.digest import (
+    bucket_of,
+    span_sequence_canonical_col,
+)
+from opengauss_tools_datachecker_performance_spark.functions.hashing import k_hash
 from opengauss_tools_datachecker_performance_spark.operators.diff import (
-    diff_docs,
+    diff_digests,
     first_divergent_span,
 )
 
@@ -60,6 +61,29 @@ class ValidationResult:
 
 def _empty_violations(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], _VIOLATION_SCHEMA)
+
+
+def _enriched_digests(docs: DataFrame) -> DataFrame:
+    """One projection of the scan carrying everything the cheap checks
+    need: span-sequence digest + k_hash (diff, uniqueness), partition,
+    and the drift metric (total text length) — so diff, uniqueness,
+    drift, the partition universe and lineage all run off this one
+    persisted frame without re-reading doc bodies."""
+    key = F.col("doc_id").cast("string")
+    kh = k_hash(key)
+    text_len = F.aggregate(
+        "spans",
+        F.lit(0),
+        lambda acc, s: acc + F.coalesce(F.length(s["text"]), F.lit(0)),
+    )
+    return docs.select(
+        key.alias("key"),
+        kh.alias("k_hash"),
+        F.xxhash64(span_sequence_canonical_col(F.col("spans"))).alias("v_hash"),
+        bucket_of(kh).alias("bucket"),
+        F.col("part"),
+        text_len.cast("double").alias("text_len"),
+    )
 
 
 def validate_docs(
@@ -91,21 +115,20 @@ def validate_docs(
         docs_source = docs_source.filter(F.col(partition_col).isin(only_partitions))
         if docs_sink is not None:
             docs_sink = docs_sink.filter(F.col(partition_col).isin(only_partitions))
-
-    parts_src = docs_source.select(partition_col).distinct()
-    parts_all = (
-        parts_src.union(docs_sink.select(partition_col)).distinct()
-        if docs_sink is not None
-        else parts_src
-    )
+    docs_source = docs_source.withColumnRenamed(partition_col, "part")
+    if docs_sink is not None:
+        docs_sink = docs_sink.withColumnRenamed(partition_col, "part")
 
     if not sres.equal:
+        parts_all = docs_source.select("part").distinct()
+        if docs_sink is not None:
+            parts_all = parts_all.union(docs_sink.select("part")).distinct()
         verdicts = (
             parts_all.crossJoin(
                 spark.createDataFrame([(c,) for c in ["schema"]], "constraint string")
             )
             .select(
-                partition_col,
+                "part",
                 "constraint",
                 F.lit(1).alias("n_violations"),
                 F.lit("fail").alias("status"),
@@ -118,31 +141,31 @@ def validate_docs(
             schema_message=sres.message,
         )
 
-    # key → partition attribution map (covers sink-only keys too)
-    key_part_src = docs_source.select(
-        F.col("doc_id").cast("string").alias("key"), F.col(partition_col).alias("part")
+    # --- digest frames: computed ONCE, persisted, reused by diff,
+    # uniqueness (k_hash reuse), drift (text_len), the partition
+    # universe and the verdict grid. The digest frame is the small
+    # projection of the scan (5 longs + key), so it is the right thing
+    # to persist at any scale — never the doc bodies.
+    dig_src = _enriched_digests(docs_source).persist()
+    dig_sink = (
+        _enriched_digests(docs_sink).persist() if docs_sink is not None else None
     )
-    key_part = (
-        key_part_src.union(
-            docs_sink.select(
-                F.col("doc_id").cast("string").alias("key"),
-                F.col(partition_col).alias("part"),
-            )
-        ).distinct()
-        if docs_sink is not None
-        else key_part_src.distinct()
-    )
+
+    parts_all = dig_src.select("part").distinct()
+    if dig_sink is not None:
+        parts_all = parts_all.union(dig_sink.select("part")).distinct()
 
     pieces: list[DataFrame] = []
 
     # --- consistency diff (the reference's core check) ---
-    if docs_sink is not None:
-        diffs = diff_docs(docs_source, docs_sink, two_phase=two_phase)
-        upd = diffs.filter(F.col("diff_type") == "update").select("key")
+    if dig_sink is not None:
+        diffs = diff_digests(dig_src, dig_sink, two_phase=two_phase, carry_cols=["part"])
+        # updated-key set is small → broadcast so span location does a
+        # broadcast semi-join instead of shuffling both doc scans
+        upd = F.broadcast(diffs.filter(F.col("diff_type") == "update").select("key"))
         span_loc = first_divergent_span(docs_source, docs_sink, upd)
         diff_v = (
-            diffs.join(key_part, "key", "left")
-            .join(span_loc, "key", "left")
+            diffs.join(span_loc, "key", "left")
             .select(
                 "part",
                 F.lit("consistency").alias("constraint"),
@@ -153,46 +176,32 @@ def validate_docs(
         )
         pieces.append(diff_v)
 
-    # --- uniqueness ---
-    uniq = (
-        uniqueness_violations(docs_source, F.col("doc_id"))
-        .join(key_part, "key", "left")
-        .select(
-            "part", "constraint", "key",
-            F.lit(None).cast("int").alias("span_idx"),
-            F.lit(None).cast("string").alias("detail"),
-        )
+    # --- uniqueness (reuses dig_src's k_hash; zero extra scans) ---
+    uniq = duplicate_keys_from_digests(dig_src).select(
+        "part",
+        F.lit("unique").alias("constraint"),
+        "key",
+        F.lit(None).cast("int").alias("span_idx"),
+        F.lit(None).cast("string").alias("detail"),
     )
     pieces.append(uniq)
 
-    # --- referential ---
-    if assets is not None:
-        refv = referential_violations(docs_source, assets).join(key_part, "key", "left")
-        pieces.append(
-            refv.select(
-                "part", "constraint", "key",
-                F.col("span_idx").cast("int"),
-                F.col("media_ref").alias("detail"),
-            )
-        )
-
-    # --- null-text column rule ---
-    nullv = span_null_text_violations(docs_source).join(key_part, "key", "left")
+    # --- span-level rules: referential + null_text, fused single pass ---
     pieces.append(
-        nullv.select(
-            "part", "constraint", "key",
-            F.col("span_idx").cast("int"),
-            F.lit(None).cast("string").alias("detail"),
+        span_rule_violations(docs_source, assets).select(
+            "part", "constraint", "key", "span_idx", "detail"
         )
     )
 
     violations = pieces[0]
     for p in pieces[1:]:
         violations = violations.unionByName(p)
+    violations = violations.persist()
 
-    # --- drift (partition-level, no per-doc violation rows) ---
+    # --- drift (partition-level; metric rides on the digest frame) ---
     drift = drift_by_quantiles(
-        doc_text_length(docs_source), group_col=partition_col,
+        dig_src.select("part", F.col("text_len").alias("metric")),
+        group_col="part",
         threshold=drift_threshold,
     )
 
@@ -200,7 +209,7 @@ def validate_docs(
     counts = violations.groupBy("part", "constraint").agg(
         F.count(F.lit(1)).alias("n_violations")
     )
-    grid = parts_all.withColumnRenamed(partition_col, "part").crossJoin(
+    grid = parts_all.crossJoin(
         spark.createDataFrame([(c,) for c in CONSTRAINTS if c != "drift"], "constraint string")
     )
     verdicts = (
@@ -211,7 +220,7 @@ def validate_docs(
         )
     )
     drift_verdict = drift.select(
-        F.col(partition_col).alias("part"),
+        F.col("part"),
         F.lit("drift").alias("constraint"),
         F.col("drifted").cast("int").cast("long").alias("n_violations"),
         F.when(F.col("drifted"), "fail").otherwise("pass").alias("status"),
@@ -223,5 +232,5 @@ def validate_docs(
         verdicts=verdicts,
         schema_ok=True,
         schema_message=sres.message,
-        extras={"drift": drift},
+        extras={"drift": drift, "digests_source": dig_src, "digests_sink": dig_sink},
     )

@@ -73,7 +73,8 @@ def mutate_docs(docs: DataFrame) -> DataFrame:
     """Deterministic sink-side mutation of a docs frame (diff targets):
     doc_id%97==0 dropped (→insert), %89==3 first text span corrupted
     (→update), %83==5 spans 0/2 offsets swapped (→update),
-    plus extra docs '9<doc_id>' for %79==11 (→delete)."""
+    plus extra docs 'x<doc_id>' for %79==11 (→delete; the 'x' prefix
+    can never collide with a numeric doc_id)."""
     did = F.col("doc_id").cast("long")
     corrupt = F.transform(
         F.col("spans"),
@@ -110,6 +111,6 @@ def mutate_docs(docs: DataFrame) -> DataFrame:
         )
     )
     extra = docs.filter(did % 79 == 11).withColumn(
-        "doc_id", F.concat(F.lit("9"), F.col("doc_id"))
+        "doc_id", F.concat(F.lit("x"), F.col("doc_id"))
     )
     return kept.unionByName(extra)

@@ -1,0 +1,127 @@
+"""Incremental (CDC-style) checking via Structured Streaming.
+
+Reference lifecycle (SURVEY.md §3.3): Debezium topic → per-table
+changed-PK logs (SourceDataLog) → IN-list re-query of both endpoints →
+bucket/Merkle/diff of only those keys → secondary re-check of the
+first diff set to absorb replication lag
+(datachecker-extract/.../debezium/IncrementDataAnalysisService.java:102-170,
+datachecker-check/.../modules/check/IncrementCheckThread.java:140-232).
+
+Spark-native shape:
+* change feed = any streaming DataFrame with a ``doc_id`` column
+  (file source in tests; kafka source in production — same code path,
+  only ``readStream.format`` differs);
+* micro-batch trigger ≈ the reference's dual time/count threshold
+  (trigger(processingTime=...) + maxFilesPerTrigger/maxOffsetsPerTrigger);
+* per batch (``foreachBatch``): semi-join both tables on the changed
+  keys (the IN-list fetch, SelectDmlBuilder.java:108-137 analogue),
+  run the same digest diff, and write per-batch verdicts to the
+  report sink — ONE check implementation for batch and streaming;
+* secondary check: diff keys of batch N are re-queued and re-checked
+  in batch N+1; only diffs that survive both passes are reported
+  final (replication-lag noise filter).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opengauss_tools_datachecker_performance_spark.operators.diff import diff_docs
+
+
+def check_changed_keys(
+    changed_keys: DataFrame, docs_source: DataFrame, docs_sink: DataFrame
+) -> DataFrame:
+    """IN-list re-check of one batch of changed doc_ids →
+    (key, diff_type). Broadcast semi-join: the key list is the small
+    side by construction."""
+    keys = F.broadcast(
+        changed_keys.select(F.col("doc_id").cast("string").alias("doc_id")).distinct()
+    )
+    src = docs_source.join(keys, "doc_id", "left_semi")
+    sink = docs_sink.join(keys, "doc_id", "left_semi")
+    # two-phase pruning is counterproductive on a tiny keyed subset
+    return diff_docs(src, sink, two_phase=False)
+
+
+class IncrementalChecker:
+    """foreachBatch driver with the reference's secondary-check ledger.
+
+    ``pending`` holds diff keys seen once; a key is only emitted as a
+    confirmed violation when it diffs in two consecutive checks
+    (IncrementCheckThread.secondaryCheckCompare:197-210 semantics).
+    ``increment-max-diff-count`` analogue: keys exceeding
+    ``max_retries`` re-checks are force-reported.
+    """
+
+    def __init__(
+        self,
+        docs_source: DataFrame,
+        docs_sink: DataFrame,
+        out_dir: str,
+        max_retries: int = 3,
+    ):
+        self.docs_source = docs_source
+        self.docs_sink = docs_sink
+        self.out_dir = out_dir
+        self.max_retries = max_retries
+        self.pending: dict[str, tuple[str, int]] = {}  # key -> (diff_type, seen)
+        self.confirmed: list[tuple[str, str, int]] = []  # (key, diff_type, batch)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # re-check = this batch's keys ∪ keys pending secondary check
+        keys = batch_df.select(F.col("doc_id").cast("string").alias("doc_id"))
+        if self.pending:
+            prev = spark.createDataFrame(
+                [(k,) for k in self.pending], "doc_id string"
+            )
+            keys = keys.unionByName(prev).distinct()
+        diffs = {r["key"]: r["diff_type"] for r in check_changed_keys(
+            keys, self.docs_source, self.docs_sink
+        ).collect()}
+        checked = {r["doc_id"] for r in keys.collect()}
+        nxt: dict[str, tuple[str, int]] = {}
+        for k in checked:
+            if k in diffs:
+                dt = diffs[k]
+                seen = self.pending.get(k, (dt, 0))[1] + 1
+                if seen >= 2 or seen > self.max_retries:
+                    self.confirmed.append((k, dt, batch_id))
+                else:
+                    nxt[k] = (dt, seen)
+            # keys that no longer diff simply drop out (lag absorbed)
+        self.pending = nxt
+        if self.confirmed:
+            spark.createDataFrame(
+                self.confirmed, "key string, diff_type string, batch_id long"
+            ).write.mode("overwrite").parquet(
+                os.path.join(self.out_dir, "incremental_violations.parquet")
+            )
+
+    def start(
+        self,
+        change_stream: DataFrame,
+        checkpoint_dir: str,
+        trigger_seconds: int = 1,
+    ):
+        """Wire the stream: change feed → foreachBatch(process_batch)."""
+        return (
+            change_stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .start()
+        )
+
+
+def file_change_source(spark: SparkSession, dir_path: str) -> DataFrame:
+    """Test/demo change feed: parquet files of (doc_id) appearing in a
+    directory. Swap for readStream.format('kafka') in production."""
+    return (
+        spark.readStream.schema("doc_id string")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(dir_path)
+    )

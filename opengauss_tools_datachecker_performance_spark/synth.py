@@ -90,9 +90,15 @@ def synth_corpus(
     n_docs: int = 10_000,
     n_assets: int = 500,
     n_partitions: int = 16,
+    min_spans: int = 2,
+    spans_spread: int = 7,
+    min_words: int = 3,
+    words_spread: int = 10,
 ) -> dict[str, DataFrame]:
     """Build the full fixture set. Returns dict with keys
     ``docs_source``, ``docs_sink``, ``assets``, ``violations_expected``.
+    Span/word knobs let the bench generate heavier (compute-bound)
+    documents than the fast pytest corpus.
     """
     n_extra = max(2, n_docs // 500)
     vocab = F.array(*[F.lit(w) for w in _VOCAB])
@@ -102,7 +108,10 @@ def synth_corpus(
         .withColumn("doc_id", _doc_id(F.col("id")))
         .withColumn("vclass", _vclass(F.col("id"), n_docs))
         .withColumn("part", F.pmod(F.xxhash64("doc_id"), F.lit(n_partitions)).cast("int"))
-        .withColumn("n_spans", (F.lit(2) + F.pmod(_h(F.col("id")), F.lit(7))).cast("int"))
+        .withColumn(
+            "n_spans",
+            (F.lit(min_spans) + F.pmod(_h(F.col("id")), F.lit(spans_spread))).cast("int"),
+        )
     )
 
     # ---- span construction (pure higher-order functions) ----------------
@@ -112,7 +121,9 @@ def synth_corpus(
     def span_struct(i):
         """Span i of doc `id`: ~1 in 4 is a media span."""
         is_media = F.pmod(_h(id_c, i, F.lit(0)), F.lit(4)) == 0
-        n_words = (F.lit(3) + F.pmod(_h(id_c, i, F.lit(1)), F.lit(10)) + drift_extra).cast("int")
+        n_words = (
+            F.lit(min_words) + F.pmod(_h(id_c, i, F.lit(1)), F.lit(words_spread)) + drift_extra
+        ).cast("int")
         words = F.transform(
             F.sequence(F.lit(0), n_words - 1),
             lambda j: F.element_at(vocab, (F.pmod(_h(id_c, i, j + 2), F.lit(len(_VOCAB))) + 1).cast("int")),
@@ -213,5 +224,9 @@ def write_corpus(spark: SparkSession, out_dir: str, **kwargs) -> None:
     for name, df in frames.items():
         writer = df.write.mode("overwrite")
         if name.startswith("docs"):
-            writer = writer.partitionBy("part")
+            # co-locate each logical partition into one file: without the
+            # repartition, every write task emits a sliver into every
+            # part= dir (n_tasks × n_partitions tiny files — a real
+            # scan-overhead bug observed at 2400 files for 400k docs)
+            writer = df.repartition("part").write.mode("overwrite").partitionBy("part")
         writer.parquet(f"{out_dir}/{name}.parquet")
