@@ -907,3 +907,8 @@ def q_span_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs_from_documents(_t(spark, sf_dir, "documents"))
     sink = mutate_docs(docs)
     return diff_docs(docs, sink)
+
+
+# wave-3 entries register themselves via the same decorator (import at
+# the bottom so the decorator and shared fragments above exist first)
+from opengauss_tools_datachecker_performance_spark import entry_queries_wave3  # noqa: E402,F401

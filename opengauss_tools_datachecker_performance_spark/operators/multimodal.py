@@ -46,10 +46,13 @@ def synth_payloads(assets: DataFrame, payload_bytes: int = 256) -> DataFrame:
     (repeat of the md5 of the ref, truncated) — enough to exercise the
     binary-column path without real media."""
     reps = payload_bytes // 16 + 1
+    # repeat/substring operate on the hex STRING form; unhex happens last
+    # (string ops on a binary column would implicitly cast through UTF-8
+    # and mangle the bytes).
     return assets.withColumn(
         "payload",
-        F.substring(
-            F.repeat(F.unhex(F.md5(F.col("media_ref"))), reps), 1, payload_bytes
+        F.unhex(
+            F.substring(F.repeat(F.md5(F.col("media_ref")), reps), 1, payload_bytes * 2)
         ),
     )
 

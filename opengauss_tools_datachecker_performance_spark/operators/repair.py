@@ -1,0 +1,115 @@
+"""Repair-DML generation from a diff result (SURVEY.md S8 tail).
+
+Reference: after a failed check, diff keys are re-queried and rendered
+into per-table repair SQL files by the DML builder family
+(datachecker-extract/.../dml/{Insert,Replace,Update,Delete,BatchDelete}DmlBuilder.java,
+driven from datachecker-check/.../modules/report/SliceCheckResultManager.java:370-449):
+
+* ``insert`` diffs (source-only keys)  → INSERT statements with the
+  source row's values;
+* ``update`` diffs (vHash mismatch)    → UPDATE ... SET <non-key cols>
+  from the source row (the reference uses REPLACE on MySQL — same
+  effect);
+* ``delete`` diffs (sink-only keys)    → DELETE by primary key.
+
+Spark-native: one left join of the diff keys against the source
+digest-input rows (delete keys join to nothing and need nothing), then
+pure string expressions render the statements — fully vectorized,
+emitted as a ``(key, diff_type, sql)`` DataFrame that the report sink
+writes per table. Value literals are rendered deterministically
+(strings quoted + escaped, numerics via pinned-scale decimal casts,
+timestamps via date_format) so the output is byte-stable across
+engines and runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def sql_literal(col: Column, dtype: T.DataType) -> Column:
+    """Render a column value as a SQL literal string.
+
+    NULL → 'NULL'; strings quoted with '' doubling; timestamps as
+    'yyyy-MM-dd HH:mm:ss'; fractional numerics via DECIMAL(20,6) cast
+    (scale-pinned like the canonicalization layer, SURVEY §1.2 F6)."""
+    if isinstance(dtype, T.StringType):
+        body = F.concat(F.lit("'"), F.regexp_replace(col, "'", "''"), F.lit("'"))
+    elif isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        fmt = "yyyy-MM-dd" if isinstance(dtype, T.DateType) else "yyyy-MM-dd HH:mm:ss"
+        body = F.concat(F.lit("'"), F.date_format(col, fmt), F.lit("'"))
+    elif isinstance(dtype, (T.DoubleType, T.FloatType, T.DecimalType)):
+        body = col.cast("decimal(20,6)").cast("string")
+    else:
+        body = col.cast("string")
+    return F.coalesce(body, F.lit("NULL"))
+
+
+def repair_dml(
+    diff: DataFrame,
+    source: DataFrame,
+    key_cols: list[str],
+    table_name: str,
+) -> DataFrame:
+    """(key, diff_type) diff + source rows → (key, diff_type, sql).
+
+    ``source`` must contain ``key_cols``; all its other columns are
+    treated as value columns. The join is keyed on the same composite
+    key string the diff used (functions.hashing.pk_key)."""
+    from opengauss_tools_datachecker_performance_spark.functions.hashing import pk_key
+
+    fields = {f.name: f.dataType for f in source.schema.fields}
+    value_cols = [c for c in source.columns if c not in key_cols]
+    all_cols = list(key_cols) + value_cols
+
+    src = source.select(pk_key(*key_cols).alias("key"), *all_cols)
+    j = diff.join(src, "key", "left")
+
+    values_list = F.concat_ws(
+        ", ", *[sql_literal(F.col(c), fields[c]) for c in all_cols]
+    )
+    set_list = F.concat_ws(
+        ", ",
+        *[
+            F.concat(F.lit(f"{c} = "), sql_literal(F.col(c), fields[c]))
+            for c in value_cols
+        ],
+    )
+    # WHERE clause from the key columns; for delete diffs the source row
+    # is absent, so reconstruct key values by splitting the key string
+    # (inverse of pk_key's '_#_' join).
+    key_parts = F.split(F.col("key"), "_#_")
+    where = F.concat_ws(
+        " AND ",
+        *[
+            F.concat(
+                F.lit(f"{c} = "),
+                sql_literal(F.element_at(key_parts, i + 1), fields[c])
+                if isinstance(
+                    fields[c],
+                    (T.StringType, T.TimestampType, T.TimestampNTZType, T.DateType),
+                )
+                else F.element_at(key_parts, i + 1),
+            )
+            for i, c in enumerate(key_cols)
+        ],
+    )
+    insert_sql = F.concat(
+        F.lit(f"INSERT INTO {table_name} ({', '.join(all_cols)}) VALUES ("),
+        values_list,
+        F.lit(");"),
+    )
+    update_sql = F.concat(
+        F.lit(f"UPDATE {table_name} SET "), set_list, F.lit(" WHERE "), where, F.lit(";")
+    )
+    delete_sql = F.concat(F.lit(f"DELETE FROM {table_name} WHERE "), where, F.lit(";"))
+    return j.select(
+        "key",
+        "diff_type",
+        F.when(F.col("diff_type") == "insert", insert_sql)
+        .when(F.col("diff_type") == "update", update_sql)
+        .otherwise(delete_sql)
+        .alias("sql"),
+    )

@@ -1,0 +1,88 @@
+"""Wave-3 operator tests: repair DML, CSV locators, multimodal stub,
+slice planning. (Cross-engine value parity for these is additionally
+enforced by the DuckDB oracles in entry_queries_wave3.)"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from opengauss_tools_datachecker_performance_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synth_payloads,
+)
+from opengauss_tools_datachecker_performance_spark.operators.repair import repair_dml
+from opengauss_tools_datachecker_performance_spark.sources.csv_source import (
+    read_csv_with_idx,
+)
+
+
+def test_repair_dml_statement_shapes(spark):
+    src = spark.createDataFrame(
+        [(1, "a", 10.5), (2, "it's", 20.0), (3, "c", None)],
+        "id long, name string, val double",
+    )
+    diff = spark.createDataFrame(
+        [("1", "update"), ("2", "insert"), ("9", "delete")], "key string, diff_type string"
+    )
+    rows = {r["key"]: r["sql"] for r in repair_dml(diff, src, ["id"], "t").collect()}
+    assert rows["1"] == "UPDATE t SET name = 'a', val = 10.500000 WHERE id = 1;"
+    # embedded quote doubled; NULL rendered bare
+    assert rows["2"] == "INSERT INTO t (id, name, val) VALUES (2, 'it''s', 20.000000);"
+    # delete key never existed in source: statement built from the key alone
+    assert rows["9"] == "DELETE FROM t WHERE id = 9;"
+
+
+def test_repair_dml_composite_key(spark):
+    src = spark.createDataFrame([(1, 2, "x")], "a long, b long, v string")
+    diff = spark.createDataFrame([("1_#_2", "update")], "key string, diff_type string")
+    [r] = repair_dml(diff, src, ["a", "b"], "t").collect()
+    assert r["sql"] == "UPDATE t SET v = 'x' WHERE a = 1 AND b = 2;"
+
+
+def test_csv_scan_row_idx(spark, tmp_path):
+    p = tmp_path / "f.csv"
+    p.write_text("id,name\n" + "".join(f"{i},n{i}\n" for i in range(20)))
+    df = read_csv_with_idx(spark, str(p), schema="id int, name string")
+    rows = df.orderBy("id").collect()
+    assert [r["row_idx"] for r in rows] == list(range(20))
+    assert all(r["src_file"] == "f.csv" for r in rows)
+
+
+def test_multimodal_features_deterministic(spark):
+    cat = spark.createDataFrame(
+        [("asset-1", "image/png", 128), ("asset-2", "video/mp4", 256)],
+        "media_ref string, mime string, bytes long",
+    )
+    feats = extract_features(synth_payloads(cat, payload_bytes=128)).collect()
+    by_ref = {r["media_ref"]: r for r in feats}
+    assert by_ref["asset-1"]["n_bytes"] == 128
+    assert 16 <= by_ref["asset-1"]["width"] < 80
+    assert 0.0 <= by_ref["asset-1"]["mean_luma"] <= 1.0
+    assert len(by_ref["asset-1"]["feature"]) == 8
+    # determinism: same input -> same features
+    feats2 = extract_features(synth_payloads(cat, payload_bytes=128)).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+
+
+def test_multimodal_strict_marks_stub(spark):
+    cat = spark.createDataFrame(
+        [("asset-1", "image/png", 64)], "media_ref string, mime string, bytes long"
+    )
+    import pytest
+
+    with pytest.raises(Exception) as ei:
+        extract_features(synth_payloads(cat), strict=True).collect()
+    assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
+def test_frame_sample_plan_counts(spark):
+    cat = spark.createDataFrame(
+        [("a", 64), ("b", 1000)], "media_ref string, bytes long"
+    )
+    rows = frame_sample_plan(cat, every_n_bytes=64, max_frames=8).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["media_ref"], []).append(r["byte_offset"])
+    assert per["a"] == [0]  # 64 bytes -> single frame
+    assert sorted(per["b"]) == [i * 64 for i in range(8)]  # capped at 8
