@@ -78,21 +78,28 @@ def brute_force_topk(
     )
 
 
+def plane_weights(table: int, plane: int, dims: int) -> list[int]:
+    """±1 weights of one deterministic hyperplane: sign = parity of
+    md5('table:plane:dim'). Public so the DuckDB oracle can embed the
+    exact same planes as SQL literals."""
+    import hashlib
+
+    out = []
+    for d in range(dims):
+        h = hashlib.md5(f"{table}:{plane}:{d}".encode()).hexdigest()
+        out.append(1 if int(h[:15], 16) % 2 == 1 else -1)
+    return out
+
+
 def hyperplane_signature(vec: Column, dims: int, n_planes: int, table: int = 0) -> Column:
     """Deterministic random-hyperplane LSH signature (int bucket id).
 
     Plane p's weight for dimension d is ±1 by the parity of the
     portable hash of 'table:p:d' — computed at PLAN TIME into literal
     arrays, so executors evaluate a pure arithmetic expression."""
-    import hashlib
-
-    def w(p: int, d: int) -> int:
-        h = hashlib.md5(f"{table}:{p}:{d}".encode()).hexdigest()
-        return 1 if int(h[:15], 16) % 2 == 1 else -1
-
     bits = []
     for p in range(n_planes):
-        weights = F.array(*[F.lit(float(w(p, d))) for d in range(dims)])
+        weights = F.array(*[F.lit(float(w)) for w in plane_weights(table, p, dims)])
         proj = dot(vec, weights)
         bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
     sig = bits[0]
@@ -110,10 +117,18 @@ def lsh_ann_topk(
     dims: int = 64,
     n_planes: int = 8,
     n_tables: int = 2,
+    quantize_scale: float | None = None,
 ) -> DataFrame:
     """Approximate top-k: per hash table, candidates = same-bucket
     vectors; exact cosine re-score of the candidate union.
-    → (query_id, neighbor_id, rank)."""
+    → (query_id, neighbor_id, rank).
+
+    ``quantize_scale``: if set, signatures are computed over
+    ``floor(v * scale)`` integer arrays instead of raw doubles.
+    Integer projections are exact (no summation-order sensitivity), so
+    bucket assignment is bit-identical across engines — used by the
+    oracle-checked catalog entry; recall is unaffected for any
+    reasonable scale (1e6)."""
     q = queries.select(
         F.col(id_col).cast("long").alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
@@ -122,10 +137,20 @@ def lsh_ann_topk(
         F.col(id_col).cast("long").alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
+
+    def sig_input(col: Column) -> Column:
+        if quantize_scale is None:
+            return col
+        return F.transform(col, lambda x: F.floor(x * quantize_scale))
+
     cand = None
     for t in range(n_tables):
-        qb = q.withColumn("bucket", hyperplane_signature(F.col("qv"), dims, n_planes, t))
-        cb = c.withColumn("bucket", hyperplane_signature(F.col("cv"), dims, n_planes, t))
+        qb = q.withColumn(
+            "bucket", hyperplane_signature(sig_input(F.col("qv")), dims, n_planes, t)
+        )
+        cb = c.withColumn(
+            "bucket", hyperplane_signature(sig_input(F.col("cv")), dims, n_planes, t)
+        )
         pairs = cb.join(F.broadcast(qb), "bucket").filter(
             F.col("neighbor_id") != F.col("query_id")
         )
