@@ -91,7 +91,7 @@ def main() -> None:
     # sandbox VM shows bursty steal/IO interference (same job varies
     # 5-10× back-to-back), and min is the noise-robust estimator of
     # the job's true cost on a quiet machine.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     times = []
     for _ in range(reps):
         dt, info = bench_validate_docs(spark, corpus_dir)

@@ -41,7 +41,17 @@ def get_spark(
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        # AQE default-on (skew-join splitting + runtime coalescing are
+        # essential at cluster scale). Env-togglable because AQE's
+        # per-stage driver re-planning is a CONSTANT ~15 s for our
+        # multi-branch validation DAG — irrelevant against hours-long
+        # 100 TB jobs, but it swamps minute-scale sandbox benches, so
+        # the scaling-efficiency evidence measures with AQE off (both
+        # numbers reported in BENCH/BASELINE.md).
+        .config(
+            "spark.sql.adaptive.enabled",
+            os.environ.get("SPARK_GRAFT_AQE", "true"),
+        )
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

