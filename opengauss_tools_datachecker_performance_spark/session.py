@@ -55,6 +55,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # the two-phase diff broadcasts the mismatched-bucket set, whose
+        # subtree contains the full digest aggregation — on a loaded
+        # host that can exceed the 300 s default and kill the job
+        .config("spark.sql.broadcastTimeout", "3600")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")

@@ -34,10 +34,17 @@ def run_bench(cpus: int, n_docs: int) -> dict:
     env.setdefault("SPARK_GRAFT_AQE", "false")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=1800,
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
     )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        sys.stderr.write(
+            f"bench.py produced no JSON (rc={out.returncode}).\n"
+            f"--- stdout tail ---\n{out.stdout[-2000:]}\n"
+            f"--- stderr tail ---\n{out.stderr[-4000:]}\n"
+        )
+        raise RuntimeError("bench.py failed")
+    return json.loads(lines[-1])
 
 
 def main():
