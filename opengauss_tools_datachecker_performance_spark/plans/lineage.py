@@ -82,13 +82,13 @@ def partition_stats(docs: DataFrame, partition_col: str = "part") -> DataFrame:
     partition — the lineage digest the ledger stores (snapshot-id
     analogue in a real Iceberg deployment)."""
     from opengauss_tools_datachecker_performance_spark.digest import (
-        span_sequence_canonical_col,
+        span_sequence_hash_col,
     )
 
     return (
         docs.select(
             F.col(partition_col).alias("part"),
-            F.xxhash64(span_sequence_canonical_col(F.col("spans"))).alias("v_hash"),
+            span_sequence_hash_col(F.col("spans")).alias("v_hash"),
         )
         .groupBy("part")
         .agg(

@@ -37,7 +37,7 @@ from opengauss_tools_datachecker_performance_spark.checks.uniqueness import (
 )
 from opengauss_tools_datachecker_performance_spark.digest import (
     bucket_of,
-    span_sequence_canonical_col,
+    span_sequence_hash_col,
 )
 from opengauss_tools_datachecker_performance_spark.functions.hashing import k_hash
 from opengauss_tools_datachecker_performance_spark.operators.diff import (
@@ -79,7 +79,7 @@ def _enriched_digests(docs: DataFrame) -> DataFrame:
     return docs.select(
         key.alias("key"),
         kh.alias("k_hash"),
-        F.xxhash64(span_sequence_canonical_col(F.col("spans"))).alias("v_hash"),
+        span_sequence_hash_col(F.col("spans")).alias("v_hash"),
         bucket_of(kh).alias("bucket"),
         F.col("part"),
         text_len.cast("double").alias("text_len"),
