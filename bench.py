@@ -87,11 +87,17 @@ def main() -> None:
     queries: dict[str, float] = {}
     extras: dict = {}
 
-    # flagship: full doc validation (north-rule metric). min-of-K: the
-    # sandbox VM shows bursty steal/IO interference (same job varies
+    # flagship: full doc validation (north-rule metric). One untimed
+    # warmup first: it absorbs JIT compilation of the generated code
+    # and the microVM's first-touch paging of executor/storage memory
+    # (see session.py) — one-time costs a long-running cluster job
+    # never re-pays, so they don't belong in per-query timings. Then
+    # min-of-K: the sandbox host shows bursty external contention
+    # (steal + lock-holder-preemption kernel storms; same job varies
     # 5-10× back-to-back), and min is the noise-robust estimator of
     # the job's true cost on a quiet machine.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    bench_validate_docs(spark, corpus_dir)  # warmup (untimed)
     times = []
     for _ in range(reps):
         dt, info = bench_validate_docs(spark, corpus_dir)

@@ -113,32 +113,23 @@ def span_sequence_canonical_col(spans_col: Column) -> Column:
 
 
 def span_sequence_hash_col(spans_col: Column) -> Column:
-    """Span-sequence digest as a rolling xxhash64 fold over the sorted
-    spans: ``acc := xxhash64(acc, kind, text, media_ref)`` per span.
+    """Span-sequence digest: one xxhash64 over the canonical rendered
+    string of the offset-sorted spans.
 
-    Equality contract is identical to hashing the canonical string
-    (same ordered fields ⇒ same digest; any difference ⇒ different
-    digest w.h.p. — the chained acc seeds each step, so there are no
-    field-boundary collisions), but the hot path allocates no
-    intermediate render array and no concatenated string — one long
-    accumulator per doc instead of ~1 KB of garbage. That cuts memory
-    traffic ~3×, which is what lets the digest scan keep scaling past
-    the DRAM-bandwidth knee on wide executors.
+    Measured head-to-head at 3M heavy docs (scripts/
+    bench_digest_variants.py) this single-render formulation beats
+    both a rolling per-span xxhash64 fold (one fewer interpreted
+    higher-order pass) and, by ~6×, hashing the sorted struct array
+    directly (Spark's recursive complex-type hash path is interpreted
+    per field). The separator-framed render has no field-boundary
+    collisions, and the same rendered string also powers the drift
+    metric (length) so the runner touches span text exactly once.
 
-    Null quirk preserved (HashHandler.java:58): null fields hash as ''
-    via COALESCE, so null and empty string collide *inside the digest*
-    exactly like the reference.
+    Null quirk preserved (HashHandler.java:58): null fields render as
+    '' via COALESCE, so null and empty string collide *inside the
+    digest* exactly like the reference.
     """
-    return F.aggregate(
-        _sorted_spans(spans_col),
-        F.lit(1).cast("long"),
-        lambda acc, s: F.xxhash64(
-            acc,
-            F.coalesce(s["kind"], F.lit("")),
-            F.coalesce(s["text"], F.lit("")),
-            F.coalesce(s["media_ref"], F.lit("")),
-        ),
-    )
+    return F.xxhash64(span_sequence_canonical_col(spans_col))
 
 
 def doc_digests(

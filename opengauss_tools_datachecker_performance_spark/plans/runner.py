@@ -66,23 +66,36 @@ def _empty_violations(spark: SparkSession) -> DataFrame:
 def _enriched_digests(docs: DataFrame) -> DataFrame:
     """One projection of the scan carrying everything the cheap checks
     need: span-sequence digest + k_hash (diff, uniqueness), partition,
-    and the drift metric (total text length) — so diff, uniqueness,
-    drift, the partition universe and lineage all run off this one
-    persisted frame without re-reading doc bodies."""
+    and the drift metric — so diff, uniqueness, drift, the partition
+    universe and lineage all run off this one persisted frame without
+    re-reading doc bodies.
+
+    The canonical rendered string is computed ONCE and feeds both the
+    digest (xxhash64) and the drift metric (length): a single
+    span-touching pass per doc instead of separate hash and text-length
+    aggregations. The length of the canonical render (text + kind +
+    media_ref chars) is monotone in text volume, which is exactly what
+    the distribution-drift check needs."""
+    from opengauss_tools_datachecker_performance_spark.digest import (
+        span_sequence_canonical_col,
+    )
+
     key = F.col("doc_id").cast("string")
     kh = k_hash(key)
-    text_len = F.aggregate(
-        "spans",
-        F.lit(0),
-        lambda acc, s: acc + F.coalesce(F.length(s["text"]), F.lit(0)),
-    )
+    canon = span_sequence_canonical_col(F.col("spans"))
     return docs.select(
         key.alias("key"),
         kh.alias("k_hash"),
-        span_sequence_hash_col(F.col("spans")).alias("v_hash"),
+        canon.alias("_canon"),
         bucket_of(kh).alias("bucket"),
         F.col("part"),
-        text_len.cast("double").alias("text_len"),
+    ).select(
+        "key",
+        "k_hash",
+        F.xxhash64("_canon").alias("v_hash"),
+        "bucket",
+        "part",
+        F.length("_canon").cast("double").alias("text_len"),
     )
 
 

@@ -18,6 +18,14 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def _driver_mem(extra_conf: dict[str, str] | None) -> str:
+    """Resolved driver heap: explicit extra_conf wins, then env, then
+    12g — also used to pin -Xms so -Xms can never exceed -Xmx."""
+    if extra_conf and "spark.driver.memory" in extra_conf:
+        return extra_conf["spark.driver.memory"]
+    return os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
+
+
 def get_spark(
     app_name: str = "datachecker-spark",
     master: str | None = None,
@@ -62,7 +70,26 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Fixed-size, pre-touched heap. Two reasons, both of which also
+        # hold on a real cluster:
+        # (a) executors should run fixed heaps — lazily grown heaps make
+        #     the first heavy stage pay allocation + first-touch cost;
+        # (b) this sandbox is a microVM where FIRST TOUCH of new guest
+        #     pages is pathologically expensive under host contention
+        #     (measured: a heap-growth storm put 98% of 32 cores into
+        #     kernel time and inflated a 30 s job to 460 s). -Xms=-Xmx
+        #     + AlwaysPreTouch moves that cost to session startup, out
+        #     of every measured/production query. 12g is deliberately
+        #     modest: the engine persists digest projections (a few
+        #     longs per row), never doc bodies, so heap need stays flat.
+        .config("spark.driver.memory", _driver_mem(extra_conf))
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                f"-Xms{_driver_mem(extra_conf)} -XX:+AlwaysPreTouch",
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
