@@ -914,3 +914,4 @@ def q_span_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 from opengauss_tools_datachecker_performance_spark import entry_queries_wave3  # noqa: E402,F401
 from opengauss_tools_datachecker_performance_spark import entry_queries_wave4  # noqa: E402,F401
 from opengauss_tools_datachecker_performance_spark import entry_queries_wave5  # noqa: E402,F401
+from opengauss_tools_datachecker_performance_spark import entry_queries_wave6  # noqa: E402,F401
