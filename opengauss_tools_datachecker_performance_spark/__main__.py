@@ -39,7 +39,8 @@ def build_parser() -> argparse.ArgumentParser:
         prog="opengauss_tools_datachecker_performance_spark",
         description="PySpark-native schema + constraint validation of interleaved-doc tables",
     )
-    p.add_argument("--source", required=True, help="source docs table (parquet/Iceberg path)")
+    p.add_argument("--source", required=True,
+                   help="source docs table: parquet path or iceberg:db.tbl[@snapshot]")
     p.add_argument("--sink", default=None, help="sink docs table to diff against (optional)")
     p.add_argument("--assets", default=None, help="asset catalog for referential check")
     p.add_argument("--report-dir", required=True, help="report output directory")
@@ -68,10 +69,14 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
 
         spark = get_spark(app_name="datachecker-validate", master=args.master)
 
+    from opengauss_tools_datachecker_performance_spark.sources.table_io import (
+        load_table,
+    )
+
     run_id = args.run_id or uuid.uuid4().hex[:12]
-    docs_source = spark.read.parquet(args.source)
-    docs_sink = spark.read.parquet(args.sink) if args.sink else None
-    assets = spark.read.parquet(args.assets) if args.assets else None
+    docs_source = load_table(spark, args.source)
+    docs_sink = load_table(spark, args.sink) if args.sink else None
+    assets = load_table(spark, args.assets) if args.assets else None
 
     only: list[int] | None = None
     if args.resume and args.checkpoint_dir:

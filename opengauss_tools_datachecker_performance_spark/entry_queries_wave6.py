@@ -218,3 +218,36 @@ def q_topic_naming(spark: SparkSession, sf_dir: str) -> DataFrame:
         "raw_name",
         F.concat(F.lit("CHECK_p1_S_"), san, F.lit("_"), ptn).alias("topic_name"),
     )
+
+
+# ---------------------------------------------------------------------------
+# U3: miss-table detection (catalog name set diff between endpoints)
+# ---------------------------------------------------------------------------
+
+# endpoint catalogs derived deterministically from nation: the source
+# endpoint "has" nations of regions 0-3, the sink 1-4 → both miss lists.
+_MISS_SQL = """
+    WITH src AS (SELECT n_name AS t FROM nation WHERE n_regionkey <= 3),
+         snk AS (SELECT n_name AS t FROM nation WHERE n_regionkey >= 1)
+    SELECT t AS table_name, 'sink' AS missing_at FROM src
+    WHERE t NOT IN (SELECT t FROM snk)
+    UNION ALL
+    SELECT t, 'source' FROM snk WHERE t NOT IN (SELECT t FROM src)
+"""
+
+
+@query("miss_table_detection", _MISS_SQL)
+def q_miss_table_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: table-name set diff between endpoint catalogs
+    (CheckTableStructureService.java:119-133,
+    EndpointMetaDataManager.getMissTableList) — two anti-joins."""
+    nation = _t(spark, sf_dir, "nation")
+    src = nation.filter(F.col("n_regionkey") <= 3).select(F.col("n_name").alias("t"))
+    snk = nation.filter(F.col("n_regionkey") >= 1).select(F.col("n_name").alias("t"))
+    miss_sink = src.join(snk, "t", "left_anti").select(
+        F.col("t").alias("table_name"), F.lit("sink").alias("missing_at")
+    )
+    miss_src = snk.join(src, "t", "left_anti").select(
+        F.col("t").alias("table_name"), F.lit("source").alias("missing_at")
+    )
+    return miss_sink.unionByName(miss_src)

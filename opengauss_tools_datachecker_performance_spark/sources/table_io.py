@@ -1,0 +1,69 @@
+"""Table IO: Iceberg-first load/write with a parquet stand-in.
+
+The engine's contract (north rule) is Iceberg tables.  This sandbox
+ships no Iceberg runtime jars, so every module works on parquet
+directories with an explicit ``part`` partition column — the same
+logical shape (partitioned table + per-partition lineage).  This
+module is the single seam: callers say ``load_table(spark, ref)`` and
+get the right reader either way.
+
+Ref grammar:
+* ``iceberg:db.tbl``            → ``spark.read.format('iceberg').load('db.tbl')``
+* ``iceberg:db.tbl@<snapshot>`` → time-travel read of that snapshot
+  (``option('snapshot-id', ...)``) — how a resumed run re-reads the
+  EXACT data version its ledger rows were computed from.
+* anything else                 → parquet path.
+
+On Iceberg, the lineage ledger's ``digest`` column is complemented by
+the snapshot id (``current_snapshot_id``) so resume can verify the
+table hasn't advanced under the checkpoint; on parquet the content
+digest alone plays that role (plans/lineage.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+ICEBERG_PREFIX = "iceberg:"
+
+
+def is_iceberg_ref(ref: str) -> bool:
+    return ref.startswith(ICEBERG_PREFIX)
+
+
+def parse_iceberg_ref(ref: str) -> tuple[str, int | None]:
+    """``iceberg:db.tbl[@snapshot]`` → (identifier, snapshot_id|None)."""
+    body = ref[len(ICEBERG_PREFIX):]
+    if "@" in body:
+        ident, snap = body.rsplit("@", 1)
+        return ident, int(snap)
+    return body, None
+
+
+def load_table(spark: SparkSession, ref: str) -> DataFrame:
+    if is_iceberg_ref(ref):
+        ident, snap = parse_iceberg_ref(ref)
+        reader = spark.read.format("iceberg")
+        if snap is not None:
+            reader = reader.option("snapshot-id", str(snap))
+        return reader.load(ident)
+    return spark.read.parquet(ref)
+
+
+def write_table(df: DataFrame, ref: str, mode: str = "overwrite") -> None:
+    if is_iceberg_ref(ref):
+        ident, _ = parse_iceberg_ref(ref)
+        df.writeTo(ident).using("iceberg").createOrReplace()
+        return
+    df.write.mode(mode).parquet(ref)
+
+
+def current_snapshot_id(spark: SparkSession, ref: str) -> int | None:
+    """Iceberg current snapshot id (for ledger rows); None on parquet."""
+    if not is_iceberg_ref(ref):
+        return None
+    ident, _ = parse_iceberg_ref(ref)
+    row = spark.sql(
+        f"SELECT snapshot_id FROM {ident}.snapshots ORDER BY committed_at DESC LIMIT 1"
+    ).head(1)
+    return row[0]["snapshot_id"] if row else None

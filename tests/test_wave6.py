@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from opengauss_tools_datachecker_performance_spark.entry_queries import ORACLES, QUERIES
 
 SF_DIR = "/root/testdata/sf0.001"
-TABLES = ["customer", "orders", "lineitem", "part"]
+TABLES = ["customer", "orders", "lineitem", "part", "nation"]
 
 
 @pytest.fixture(scope="module")
@@ -29,7 +29,13 @@ def duck():
 
 @pytest.mark.parametrize(
     "name",
-    ["debezium_decode", "status_register", "column_rule_projection", "topic_naming"],
+    [
+        "debezium_decode",
+        "status_register",
+        "column_rule_projection",
+        "topic_naming",
+        "miss_table_detection",
+    ],
 )
 def test_wave6_matches_oracle(spark, duck, name):
     got = {tuple(map(str, r)) for r in QUERIES[name](spark, SF_DIR).collect()}
