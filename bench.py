@@ -66,7 +66,12 @@ def bench_validate_docs(spark, corpus_dir: str) -> tuple[float, dict]:
     dt = time.monotonic() - t0
     n_viol = sum(r["n_violations"] for r in rows if r["constraint"] != "drift")
     n_fail = sum(1 for r in rows if r["status"] == "fail")
-    for df in (res.violations, res.extras.get("digests_source"), res.extras.get("digests_sink")):
+    for df in (
+        res.violations,
+        res.extras.get("digests_source"),
+        res.extras.get("digests_sink"),
+        res.extras.get("diffs"),
+    ):
         if df is not None:
             df.unpersist()
     return dt, {"n_violations": n_viol, "n_failed_verdicts": n_fail}

@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true", help="skip partitions already 'done' in the ledger")
     p.add_argument("--partition-col", default="part")
     p.add_argument("--drift-threshold", type=float, default=0.15)
+    p.add_argument(
+        "--max-violations", type=int, default=None,
+        help="cap ENUMERATED violation rows per (partition, constraint); "
+             "verdict counts stay exact (guard rail for flooded diffs)",
+    )
     p.add_argument("--run-id", default=None)
     p.add_argument("--master", default=None, help="override master (default: spark-submit / env)")
     return p
@@ -99,6 +104,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         partition_col=args.partition_col,
         only_partitions=only,
         drift_threshold=args.drift_threshold,
+        max_violations_per_partition=args.max_violations,
     )
     summary = write_report(result, args.report_dir)
 

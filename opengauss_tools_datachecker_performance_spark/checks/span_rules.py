@@ -1,10 +1,15 @@
-"""Fused span-level rule pass: referential + null-text in ONE explode.
+"""Span-level rules: referential + null-text.
 
-The runner's scan-count discipline: per validation run the doc bodies
-are read (a) once per side for the digest frame, (b) once for the
-media-ref universe, (c) once here for all span-level rule violations.
-Everything else works off the persisted digest frame.  Keeping the
-span rules fused means adding a new span rule costs zero extra scans.
+Two formulations:
+
+* ``span_rule_violations`` — standalone single-pass explode over the
+  doc table (used by the direct operator queries and as the oracle for
+  the fused path).
+* ``span_rule_violations_from_digests`` — the runner's scale path: the
+  digest scan already extracted ``media_spans`` (sorted-order index +
+  ref of every media span) and ``null_text_idxs`` onto the persisted
+  digest frame, so span rules evaluate off that cache and the doc
+  bodies are read exactly ONCE per side per run.
 """
 
 from __future__ import annotations
@@ -54,3 +59,54 @@ def span_rule_violations(docs: DataFrame, assets: DataFrame | None) -> DataFrame
             F.when(dangling, F.col("media_ref")).alias("detail"),
         )
     )
+
+
+def span_rule_violations_from_digests(
+    dig: DataFrame, assets: DataFrame | None
+) -> DataFrame:
+    """Same output contract as :func:`span_rule_violations`, computed
+    from the persisted digest frame (columns ``key``, ``part``,
+    ``media_spans``, ``null_text_idxs``) — zero doc-body scans.
+
+    The dangling-ref set is tiny (violation-rate × refs): distinct refs
+    from the cache, left-anti against the asset catalog, broadcast back
+    over the exploded media spans.  At cluster scale the distinct is a
+    narrow shuffle of ref strings, the catalog side is a plain column
+    scan, and nothing re-reads span text.
+    """
+    null_v = dig.select(
+        "part",
+        F.lit("null_text").alias("constraint"),
+        "key",
+        F.explode("null_text_idxs").alias("span_idx"),
+        F.lit(None).cast("string").alias("detail"),
+    )
+    if assets is None:
+        return null_v
+    refs = (
+        dig.select(F.explode("media_spans").alias("m"))
+        .select(F.col("m.media_ref").alias("media_ref"))
+        .filter(F.col("media_ref").isNotNull())
+        .distinct()
+    )
+    bad_refs = refs.join(
+        assets.select(F.col("media_ref")), "media_ref", "left_anti"
+    )
+    ref_v = (
+        dig.select("part", "key", F.explode("media_spans").alias("m"))
+        .select(
+            "part",
+            "key",
+            F.col("m.span_idx").alias("span_idx"),
+            F.col("m.media_ref").alias("media_ref"),
+        )
+        .join(F.broadcast(bad_refs), "media_ref", "left_semi")
+        .select(
+            "part",
+            F.lit("referential").alias("constraint"),
+            "key",
+            F.col("span_idx").cast("int").alias("span_idx"),
+            F.col("media_ref").alias("detail"),
+        )
+    )
+    return ref_v.unionByName(null_v)

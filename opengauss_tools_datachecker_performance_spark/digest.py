@@ -99,9 +99,12 @@ def _sorted_spans(spans_col: Column) -> Column:
     )
 
 
-def span_sequence_canonical_col(spans_col: Column) -> Column:
+def render_sorted_spans(sorted_spans_col: Column) -> Column:
+    """Canonical render of an ALREADY offset-sorted span array — split
+    out so a caller that materializes the sorted array once can feed
+    digest + rule extraction off the same sort."""
     rendered = F.transform(
-        _sorted_spans(spans_col),
+        sorted_spans_col,
         lambda s: F.concat_ws(
             _UNIT_SEP,
             F.coalesce(s["kind"], F.lit("")),
@@ -110,6 +113,42 @@ def span_sequence_canonical_col(spans_col: Column) -> Column:
         ),
     )
     return F.array_join(rendered, _REC_SEP)
+
+
+def span_sequence_canonical_col(spans_col: Column) -> Column:
+    return render_sorted_spans(_sorted_spans(spans_col))
+
+
+def media_spans_col(sorted_spans_col: Column) -> Column:
+    """``array<struct<span_idx:int, media_ref:string>>`` of the media
+    spans (sorted-order indexes) — small enough to ride on the cached
+    digest frame so the referential check never re-reads doc bodies."""
+    indexed = F.transform(
+        sorted_spans_col,
+        lambda s, i: F.struct(
+            i.cast("int").alias("span_idx"),
+            s["kind"].alias("kind"),
+            s["media_ref"].alias("media_ref"),
+        ),
+    )
+    return F.transform(
+        F.filter(indexed, lambda x: x["kind"] == "media"),
+        lambda x: F.struct(
+            x["span_idx"].alias("span_idx"), x["media_ref"].alias("media_ref")
+        ),
+    )
+
+
+def null_text_idxs_col(sorted_spans_col: Column) -> Column:
+    """Sorted-order indexes of text spans with NULL text (almost always
+    empty — violations only)."""
+    flagged = F.transform(
+        sorted_spans_col,
+        lambda s, i: F.when(
+            (s["kind"] == "text") & s["text"].isNull(), i.cast("int")
+        ),
+    )
+    return F.filter(flagged, lambda x: x.isNotNull())
 
 
 def span_sequence_hash_col(spans_col: Column) -> Column:

@@ -30,7 +30,7 @@ from opengauss_tools_datachecker_performance_spark.checks.schema_check import (
     check_schema,
 )
 from opengauss_tools_datachecker_performance_spark.checks.span_rules import (
-    span_rule_violations,
+    span_rule_violations_from_digests,
 )
 from opengauss_tools_datachecker_performance_spark.checks.uniqueness import (
     duplicate_keys_from_digests,
@@ -77,25 +77,33 @@ def _enriched_digests(docs: DataFrame) -> DataFrame:
     media_ref chars) is monotone in text volume, which is exactly what
     the distribution-drift check needs."""
     from opengauss_tools_datachecker_performance_spark.digest import (
-        span_sequence_canonical_col,
+        _sorted_spans,
+        media_spans_col,
+        null_text_idxs_col,
+        render_sorted_spans,
     )
 
     key = F.col("doc_id").cast("string")
     kh = k_hash(key)
-    canon = span_sequence_canonical_col(F.col("spans"))
+    s = F.col("_s")
     return docs.select(
         key.alias("key"),
         kh.alias("k_hash"),
-        canon.alias("_canon"),
+        _sorted_spans(F.col("spans")).alias("_s"),
         bucket_of(kh).alias("bucket"),
         F.col("part"),
     ).select(
         "key",
         "k_hash",
-        F.xxhash64("_canon").alias("v_hash"),
+        F.xxhash64(render_sorted_spans(s)).alias("v_hash"),
         "bucket",
         "part",
-        F.length("_canon").cast("double").alias("text_len"),
+        F.length(render_sorted_spans(s)).cast("double").alias("text_len"),
+        # span-rule inputs ride the same scan (sorted-order indexes):
+        # a handful of (idx, ref) pairs + an almost-always-empty int
+        # array per doc — the cached frame stays body-free
+        media_spans_col(s).alias("media_spans"),
+        null_text_idxs_col(s).alias("null_text_idxs"),
     )
 
 
@@ -107,6 +115,8 @@ def validate_docs(
     only_partitions: list[int] | None = None,
     drift_threshold: float = 0.15,
     two_phase: bool = True,
+    eager: bool = True,
+    max_violations_per_partition: int | None = None,
 ) -> ValidationResult:
     """Run every applicable check; returns violations + verdict grid.
 
@@ -163,16 +173,38 @@ def validate_docs(
     dig_sink = (
         _enriched_digests(docs_sink).persist() if docs_sink is not None else None
     )
+    if eager:
+        # Materialize the digest caches as an explicit barrier before any
+        # downstream branch is planned against them. Without this, the
+        # first consumer to run is a driver-side BROADCAST BUILD (the
+        # mismatched-bucket set), so the heaviest stage of the whole job
+        # — the full doc scan + digest — executes inside a blocking
+        # broadcast future while the main job's stages sit idle. One
+        # count() per side turns the scan into an ordinary fully-parallel
+        # job; every later branch then reads the in-memory columnar cache.
+        dig_src.count()
+        if dig_sink is not None:
+            dig_sink.count()
 
     parts_all = dig_src.select("part").distinct()
     if dig_sink is not None:
         parts_all = parts_all.union(dig_sink.select("part")).distinct()
 
     pieces: list[DataFrame] = []
+    diffs: DataFrame | None = None
 
     # --- consistency diff (the reference's core check) ---
     if dig_sink is not None:
-        diffs = diff_digests(dig_src, dig_sink, two_phase=two_phase, carry_cols=["part"])
+        # persist: the diff result is tiny (≈ diff-rate × rows) but its
+        # subtree is the bucket-prune + full-outer join over both digest
+        # frames; it feeds BOTH the violation rows and the updated-key
+        # broadcast below — without persist the broadcast build would
+        # re-execute the whole join inside a driver-blocking future.
+        diffs = diff_digests(
+            dig_src, dig_sink, two_phase=two_phase, carry_cols=["part"]
+        ).persist()
+        if eager:
+            diffs.count()
         # updated-key set is small → broadcast so span location does a
         # broadcast semi-join instead of shuffling both doc scans
         upd = F.broadcast(diffs.filter(F.col("diff_type") == "update").select("key"))
@@ -199,9 +231,10 @@ def validate_docs(
     )
     pieces.append(uniq)
 
-    # --- span-level rules: referential + null_text, fused single pass ---
+    # --- span-level rules: referential + null_text, off the digest
+    # cache (zero extra doc-body scans; span_rules.py) ---
     pieces.append(
-        span_rule_violations(docs_source, assets).select(
+        span_rule_violations_from_digests(dig_src, assets).select(
             "part", "constraint", "key", "span_idx", "detail"
         )
     )
@@ -210,6 +243,27 @@ def validate_docs(
     for p in pieces[1:]:
         violations = violations.unionByName(p)
     violations = violations.persist()
+    violations_full = violations  # the persisted frame (unpersist handle)
+
+    # --- verdict counts come from the FULL violation set; the
+    # enumerated rows can be capped per (part, constraint) — the
+    # analogue of the reference's large-diff guard rails (X11:
+    # LargeDataDiffException / MerkleTreeDepthException,
+    # DataCheckRunnable.java:165-182,299-322), except a flooded
+    # partition still FAILS with its exact count instead of aborting
+    # the run; only the per-row enumeration stops at the cap. ---
+    counts = violations.groupBy("part", "constraint").agg(
+        F.count(F.lit(1)).alias("n_violations")
+    )
+    if max_violations_per_partition is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("part", "constraint").orderBy("key", "span_idx")
+        violations = (
+            violations.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_violations_per_partition)
+            .drop("_rn")
+        )
 
     # --- drift (partition-level; metric rides on the digest frame) ---
     drift = drift_by_quantiles(
@@ -219,9 +273,6 @@ def validate_docs(
     )
 
     # --- verdict grid: partitions × constraints, zero-filled ---
-    counts = violations.groupBy("part", "constraint").agg(
-        F.count(F.lit(1)).alias("n_violations")
-    )
     grid = parts_all.crossJoin(
         spark.createDataFrame([(c,) for c in CONSTRAINTS if c != "drift"], "constraint string")
     )
@@ -245,5 +296,11 @@ def validate_docs(
         verdicts=verdicts,
         schema_ok=True,
         schema_message=sres.message,
-        extras={"drift": drift, "digests_source": dig_src, "digests_sink": dig_sink},
+        extras={
+            "drift": drift,
+            "digests_source": dig_src,
+            "digests_sink": dig_sink,
+            "diffs": diffs,
+            "violations_full": violations_full,
+        },
     )

@@ -68,6 +68,9 @@ def get_spark(
         # host that can exceed the 300 s default and kill the job
         .config("spark.sql.broadcastTimeout", "3600")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # the fused validation DAG generates ~190 codegen units per run;
+        # the default 100-entry Janino cache thrashes on repeated runs
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         # Fixed-size, pre-touched heap. Two reasons, both of which also

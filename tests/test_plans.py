@@ -86,3 +86,31 @@ def test_no_cartesian_anywhere(corpus):
     sink = doc_digests(corpus["docs_sink"])
     plan = _plan(diff_digests(src, sink, two_phase=True))
     assert "CartesianProduct" not in plan
+
+
+def test_span_rules_from_digest_cache_match_explode_path(corpus):
+    """The runner's fused span-rule path (off the cached digest frame,
+    zero doc-body re-scans) must produce EXACTLY the rows of the
+    standalone single-pass explode formulation."""
+    from opengauss_tools_datachecker_performance_spark.checks.span_rules import (
+        span_rule_violations_from_digests,
+    )
+    from opengauss_tools_datachecker_performance_spark.plans.runner import (
+        _enriched_digests,
+    )
+
+    docs, assets = corpus["docs_source"], corpus["assets"]
+    dig = _enriched_digests(docs.withColumnRenamed("part", "part"))
+    got = {
+        tuple(r)
+        for r in span_rule_violations_from_digests(dig, assets)
+        .select("part", "constraint", "key", "span_idx", "detail")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in span_rule_violations(docs, assets)
+        .select("part", "constraint", "key", "span_idx", "detail")
+        .collect()
+    }
+    assert got == want and len(got) > 0

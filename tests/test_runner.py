@@ -108,3 +108,28 @@ def test_lineage_resume(tmp_path, spark, corpus):
         for r in partition_stats(corpus["docs_source"]).collect()
     }
     assert ledger == recomputed
+
+
+def test_max_violations_cap(corpus):
+    """X11 guard rail: enumeration capped per (part, constraint) but
+    verdict counts stay exact (no abort, partition still fails)."""
+    res = validate_docs(
+        corpus["docs_source"], corpus["docs_sink"], corpus["assets"],
+        max_violations_per_partition=1,
+    )
+    per = (
+        res.violations.groupBy("part", "constraint")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert per and all(r["n"] <= 1 for r in per)
+    full = validate_docs(
+        corpus["docs_source"], corpus["docs_sink"], corpus["assets"]
+    )
+    assert sorted(
+        (r["part"], r["constraint"], r["n_violations"])
+        for r in res.verdicts.collect()
+    ) == sorted(
+        (r["part"], r["constraint"], r["n_violations"])
+        for r in full.verdicts.collect()
+    )
