@@ -172,3 +172,90 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def ivf_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    quantize_scale: float = 1_000_000.0,
+) -> DataFrame:
+    """IVF-bucketed ANN — the inverted-file scale path: a coarse
+    quantizer assigns every corpus vector to its nearest cell; a query
+    probes only its ``nprobe`` closest cells and re-scores exactly
+    inside them, replacing the |Q|×|C| cross product with
+    ~|C|·nprobe/n_cells candidates per query.
+
+    Engine-deterministic by construction (so a SQL oracle can replay
+    it bit-for-bit): the coarse centroids are the ``n_cells``
+    lowest-id corpus vectors (a k-means stand-in — swap in trained
+    centroids at will), and cell assignment maximizes the DOT PRODUCT
+    OF FLOOR-QUANTIZED INTEGER vectors (products ≤ 1e12 × dims are
+    exact in 64-bit arithmetic; no float summation-order sensitivity),
+    ties broken by lowest cell id.  Only the final re-score uses real
+    cosine.  → (query_id, neighbor_id, rank).
+
+    At cluster scale: centroids broadcast (tiny), corpus assignment is
+    one narrow map pass, the candidate join shuffles by cell id (or
+    broadcasts the probed query side, as here), and the corpus is
+    re-read never."""
+
+    def qz(col: Column) -> Column:
+        return F.transform(col, lambda x: F.floor(x * quantize_scale).cast("long"))
+
+    def dot_int(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    cent = corpus.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).cast("int").alias("cell"),
+        qz(F.col(vec_col).cast("array<double>")).alias("ci"),
+    )
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("vi", qz(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("vi", qz(F.col("qv")))
+
+    def assign(df: DataFrame, id_name: str, n: int) -> DataFrame:
+        scored = df.join(F.broadcast(cent)).withColumn(
+            "cdot", dot_int(F.col("vi"), F.col("ci"))
+        )
+        w = Window.partitionBy(id_name).orderBy(
+            F.col("cdot").desc(), F.col("cell").asc()
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n)
+            .drop("_rn", "cdot", "ci", "vi")
+        )
+
+    c_assigned = assign(c, "neighbor_id", 1)
+    q_probed = assign(q, "query_id", nprobe)
+    scored = (
+        c_assigned.join(F.broadcast(q_probed), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
