@@ -113,3 +113,82 @@ def repair_dml(
         .otherwise(delete_sql)
         .alias("sql"),
     )
+
+
+def repair_dml_replace(
+    diff: DataFrame,
+    source: DataFrame,
+    key_cols: list[str],
+    table_name: str,
+) -> DataFrame:
+    """MySQL-dialect variant: insert AND update diffs render as
+    ``REPLACE INTO`` (the reference's ReplaceDmlBuilder.java — upsert
+    semantics make the two cases one statement); deletes unchanged."""
+    base = repair_dml(diff, source, key_cols, table_name)
+    from opengauss_tools_datachecker_performance_spark.functions.hashing import pk_key
+
+    fields = {f.name: f.dataType for f in source.schema.fields}
+    all_cols = list(key_cols) + [c for c in source.columns if c not in key_cols]
+    src = source.select(pk_key(*key_cols).alias("key"), *all_cols)
+    values_list = F.concat_ws(
+        ", ", *[sql_literal(F.col(c), fields[c]) for c in all_cols]
+    )
+    replaced = (
+        diff.filter(F.col("diff_type") != "delete")
+        .join(src, "key", "left")
+        .select(
+            "key",
+            "diff_type",
+            F.concat(
+                F.lit(f"REPLACE INTO {table_name} ({', '.join(all_cols)}) VALUES ("),
+                values_list,
+                F.lit(");"),
+            ).alias("sql"),
+        )
+    )
+    return replaced.unionByName(base.filter(F.col("diff_type") == "delete"))
+
+
+def batch_delete_dml(
+    diff: DataFrame,
+    key_col: str,
+    table_name: str,
+    batch_size: int = 100,
+    key_type: "T.DataType | None" = None,
+) -> DataFrame:
+    """Single-PK batched deletes: ``DELETE FROM t WHERE pk IN (...)``
+    with ``batch_size`` keys per statement (the reference's
+    BatchDeleteDmlBuilder.java).  Batches form per shuffle partition
+    (``row_number`` within a hash-partitioned window), so no global
+    sort and no driver collect — at scale every executor renders its
+    own statements."""
+    from pyspark.sql.window import Window
+
+    kt = key_type or T.StringType()
+    deletes = diff.filter(F.col("diff_type") == "delete").select("key")
+    w = Window.partitionBy(F.spark_partition_id()).orderBy("key")
+    batched = deletes.withColumn(
+        "_batch",
+        F.concat_ws(
+            "|",
+            F.spark_partition_id(),
+            F.floor((F.row_number().over(w) - 1) / batch_size),
+        ),
+    )
+    return (
+        batched.groupBy("_batch")
+        .agg(
+            F.concat_ws(
+                ", ", F.sort_array(F.collect_list(sql_literal(F.col("key"), kt)))
+            ).alias("_in"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+        .select(
+            F.concat(
+                F.lit(f"DELETE FROM {table_name} WHERE {key_col} IN ("),
+                F.col("_in"),
+                F.lit(");"),
+            ).alias("sql"),
+            "n_keys",
+        )
+    )

@@ -86,3 +86,37 @@ def test_frame_sample_plan_counts(spark):
         per.setdefault(r["media_ref"], []).append(r["byte_offset"])
     assert per["a"] == [0]  # 64 bytes -> single frame
     assert sorted(per["b"]) == [i * 64 for i in range(8)]  # capped at 8
+
+
+def test_repair_dml_replace_variant(spark):
+    from opengauss_tools_datachecker_performance_spark.operators.repair import (
+        repair_dml_replace,
+    )
+
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    diff = spark.createDataFrame(
+        [("1", "insert"), ("2", "update"), ("9", "delete")],
+        "key string, diff_type string",
+    )
+    rows = {r["key"]: r["sql"] for r in repair_dml_replace(diff, src, ["id"], "t").collect()}
+    assert rows["1"] == "REPLACE INTO t (id, v) VALUES (1, 'a');"
+    assert rows["2"] == "REPLACE INTO t (id, v) VALUES (2, 'b');"
+    assert rows["9"].startswith("DELETE FROM t WHERE ")
+
+
+def test_batch_delete_dml(spark):
+    from opengauss_tools_datachecker_performance_spark.operators.repair import (
+        batch_delete_dml,
+    )
+
+    diff = spark.createDataFrame(
+        [(f"k{i}", "delete") for i in range(7)] + [("u", "update")],
+        "key string, diff_type string",
+    ).repartition(1)
+    out = batch_delete_dml(diff, "doc_id", "t", batch_size=3).collect()
+    assert sum(r["n_keys"] for r in out) == 7
+    assert all(r["n_keys"] <= 3 for r in out)
+    assert all(
+        r["sql"].startswith("DELETE FROM t WHERE doc_id IN ('") and r["sql"].endswith("');")
+        for r in out
+    )

@@ -1,0 +1,106 @@
+"""Randomized property tests (hypothesis): the Spark diff core must
+agree with the pure-Python oracle on ARBITRARY corpora, not just the
+seeded synthetic one.  Mirrors the reference's golden-test idea
+(SURVEY.md §5) with generated inputs instead of fixtures.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from opengauss_tools_datachecker_performance_spark.operators.diff import diff_docs
+from tests.oracle import canon_spans, classify
+
+DOC_SCHEMA = (
+    "doc_id string, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+_kind = st.sampled_from(["text", "media", "rule"])
+_text = st.one_of(st.none(), st.text(max_size=8))
+
+
+def _spans(draw, n):
+    # unique offsets per doc: Spark's sort_array ties would otherwise
+    # break on (kind, text, media_ref) while Python's stable sort keeps
+    # input order — the engine contract only covers unique offsets.
+    offs = draw(
+        st.lists(st.integers(0, 1000), min_size=n, max_size=n, unique=True)
+    )
+    out = []
+    for i in range(n):
+        k = draw(_kind)
+        out.append(
+            {
+                "kind": k,
+                "text": draw(_text),
+                "media_ref": f"m{draw(st.integers(0, 5))}" if k == "media" else None,
+                "offset": offs[i],
+            }
+        )
+    return out
+
+
+@st.composite
+def corpus_pair(draw):
+    n_docs = draw(st.integers(2, 12))
+    src = {}
+    for i in range(n_docs):
+        src[f"d{i}"] = _spans(draw, draw(st.integers(1, 5)))
+    sink = {}
+    for k, spans in src.items():
+        action = draw(st.sampled_from(["keep", "keep", "drop", "mutate"]))
+        if action == "keep":
+            sink[k] = [dict(s) for s in spans]
+        elif action == "mutate":
+            m = [dict(s) for s in spans]
+            j = draw(st.integers(0, len(m) - 1))
+            field = draw(st.sampled_from(["text", "kind", "offset"]))
+            if field == "offset":
+                m[j]["offset"] = m[j]["offset"] + 2000  # stays unique
+            else:
+                m[j][field] = (m[j][field] or "") + "!"
+            sink[k] = m
+        # drop → absent in sink (an 'insert' diff)
+    for i in range(draw(st.integers(0, 3))):  # sink-only docs ('delete')
+        sink[f"x{i}"] = _spans(draw, draw(st.integers(1, 3)))
+    return src, sink
+
+
+def _df(spark, docs: dict):
+    return spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], DOC_SCHEMA
+    )
+
+
+@pytest.mark.parametrize("two_phase", [True, False])
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pair=corpus_pair())
+def test_diff_matches_python_oracle_on_random_corpora(spark, two_phase, pair):
+    src, sink = pair
+    got = {
+        t: {r["key"] for r in rows}
+        for t, rows in _group(
+            diff_docs(_df(spark, src), _df(spark, sink), two_phase=two_phase)
+            .collect()
+        ).items()
+    }
+    want = classify(
+        {k: canon_spans(v) for k, v in src.items()},
+        {k: canon_spans(v) for k, v in sink.items()},
+    )
+    for t in ("insert", "update", "delete"):
+        assert got.get(t, set()) == want[t], (t, src, sink)
+
+
+def _group(rows):
+    out: dict[str, list] = {}
+    for r in rows:
+        out.setdefault(r["diff_type"], []).append(r)
+    return out
