@@ -27,6 +27,7 @@ Exit code 0 iff every validated partition passed every constraint.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import uuid
 
@@ -53,9 +54,42 @@ def build_parser() -> argparse.ArgumentParser:
         help="cap ENUMERATED violation rows per (partition, constraint); "
              "verdict counts stay exact (guard rail for flooded diffs)",
     )
+    p.add_argument(
+        "--chunk-partitions", type=int, default=0,
+        help="validate in waves of N partitions, appending per-partition "
+             "lineage after each wave so a killed run resumes mid-table "
+             "(0 = one wave). Wave report writes are idempotent "
+             "(chunk=<id> subdirs), so retrying a half-written wave is safe.",
+    )
     p.add_argument("--run-id", default=None)
     p.add_argument("--master", default=None, help="override master (default: spark-submit / env)")
     return p
+
+
+#: pseudo-chunk id for the run-global drift verdicts of a chunked run
+_DRIFT_CHUNK = 999_999_999
+
+
+def _finalize_drift(spark: SparkSession, report_dir: str, threshold: float) -> None:
+    """Chunked runs defer drift: each wave persisted its per-partition
+    quantile profiles; judge drift ONCE over their union (run-global
+    baseline) and write the verdict rows as a dedicated chunk —
+    idempotent like every wave write."""
+    from opengauss_tools_datachecker_performance_spark.checks.drift import (
+        drift_from_profiles,
+    )
+    from opengauss_tools_datachecker_performance_spark.plans.runner import (
+        drift_verdicts,
+    )
+
+    profiles = spark.read.parquet(
+        os.path.join(report_dir, "drift_profiles.parquet")
+    ).select("part", "q")
+    drift_verdicts(drift_from_profiles(profiles, threshold=threshold)).write.mode(
+        "overwrite"
+    ).parquet(
+        os.path.join(report_dir, "verdicts.parquet", f"chunk={_DRIFT_CHUNK}")
+    )
 
 
 def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
@@ -64,7 +98,10 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         pending_partitions,
         record_partitions,
     )
-    from opengauss_tools_datachecker_performance_spark.plans.report import write_report
+    from opengauss_tools_datachecker_performance_spark.plans.report import (
+        summarize_dir,
+        write_frames,
+    )
     from opengauss_tools_datachecker_performance_spark.plans.runner import validate_docs
 
     args = build_parser().parse_args(argv)
@@ -83,42 +120,90 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     docs_sink = load_table(spark, args.sink) if args.sink else None
     assets = load_table(spark, args.assets) if args.assets else None
 
-    only: list[int] | None = None
+    universe = sorted(
+        r[0] for r in docs_source.select(args.partition_col).distinct().collect()
+    )
+    pending = universe
     if args.resume and args.checkpoint_dir:
-        universe = [
-            r[0]
-            for r in docs_source.select(args.partition_col).distinct().collect()
-        ]
-        only = pending_partitions(spark, args.checkpoint_dir, universe)
-        print(f"[resume] {len(universe) - len(only)} partitions done, {len(only)} pending")
-        if not only:
+        pending = pending_partitions(spark, args.checkpoint_dir, universe)
+        print(
+            f"[resume] {len(universe) - len(pending)} partitions done, "
+            f"{len(pending)} pending"
+        )
+        if not pending:
             print("[resume] nothing to do")
+            try:
+                # refresh the summary over frames a previous (killed)
+                # run already wrote into THIS report dir, if any —
+                # finalizing drift in case the kill landed between the
+                # last wave and the drift rollup
+                if os.path.isdir(
+                    os.path.join(args.report_dir, "drift_profiles.parquet")
+                ):
+                    _finalize_drift(spark, args.report_dir, args.drift_threshold)
+                summarize_dir(spark, args.report_dir)
+            except Exception:
+                pass
             if own_session:
                 spark.stop()
             return 0
 
-    result = validate_docs(
-        docs_source,
-        docs_sink,
-        assets,
-        partition_col=args.partition_col,
-        only_partitions=only,
-        drift_threshold=args.drift_threshold,
-        max_violations_per_partition=args.max_violations,
+    n = args.chunk_partitions
+    chunked = n > 0 and n < len(pending)
+    chunks = (
+        [pending[i : i + n] for i in range(0, len(pending), n)]
+        if chunked
+        else [pending]
     )
-    summary = write_report(result, args.report_dir)
-
-    if args.checkpoint_dir and result.schema_ok:
-        src = docs_source
-        if only is not None:
-            src = src.filter(F.col(args.partition_col).isin(only))
-        record_partitions(
-            spark,
-            args.checkpoint_dir,
-            run_id,
-            partition_stats(src, partition_col=args.partition_col),
+    schema_ok, schema_msg = True, ""
+    for ch in chunks:
+        # fast path: a full single wave needs no partition filter
+        only = None if (not chunked and set(ch) == set(universe)) else ch
+        result = validate_docs(
+            docs_source,
+            docs_sink,
+            assets,
+            partition_col=args.partition_col,
+            only_partitions=only,
+            drift_threshold=args.drift_threshold,
+            max_violations_per_partition=args.max_violations,
+            skip_drift=chunked,  # judged run-globally after the waves
         )
+        write_frames(
+            result, args.report_dir, chunk=(min(ch) if chunked else None)
+        )
+        if chunked and result.schema_ok:
+            result.extras["drift_profiles"].write.mode("overwrite").parquet(
+                os.path.join(
+                    args.report_dir, "drift_profiles.parquet", f"chunk={min(ch)}"
+                )
+            )
+            print(f"[wave] partitions {ch[0]}..{ch[-1]} written", flush=True)
+        if not result.schema_ok:
+            schema_ok, schema_msg = False, result.schema_message
+            break
+        if args.checkpoint_dir:
+            src = docs_source.filter(F.col(args.partition_col).isin(ch))
+            record_partitions(
+                spark,
+                args.checkpoint_dir,
+                run_id,
+                partition_stats(src, partition_col=args.partition_col),
+            )
+        for df in (
+            result.extras.get("violations_full"),
+            result.extras.get("digests_source"),
+            result.extras.get("digests_sink"),
+            result.extras.get("diffs"),
+        ):
+            if df is not None:
+                df.unpersist()
 
+    if chunked and schema_ok:
+        _finalize_drift(spark, args.report_dir, args.drift_threshold)
+    summary = summarize_dir(
+        spark, args.report_dir, schema_ok=schema_ok, schema_message=schema_msg
+    )
     ok = summary["result"] == "success"
     print(f"[validate] run={run_id} result={summary['result']}")
     if own_session:

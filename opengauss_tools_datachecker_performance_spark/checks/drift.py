@@ -39,23 +39,28 @@ def doc_text_length(docs: DataFrame) -> DataFrame:
     return docs.select("part", "doc_id", total_len.cast("double").alias("metric"))
 
 
-def drift_by_quantiles(
+def quantile_profiles(
     metrics: DataFrame,
     group_col: str = "part",
     metric_col: str = "metric",
     probs: list[float] | None = None,
-    threshold: float = 0.3,
 ) -> DataFrame:
-    """→ (part, drift_score, drifted): per-group quantile profile vs a
-    **robust baseline** — the per-prob *median across groups* — so one
-    drifted partition can't pollute its own yardstick (a pooled-global
-    baseline shifts with the outlier). drift_score = max relative
-    quantile gap over the grid."""
+    """→ (part, q array): per-group quantile profile — the tiny,
+    MERGEABLE-by-union drift artifact (one row per partition). Chunked
+    runs persist these per wave and judge drift once over the union,
+    so the baseline is run-global no matter how the table was waved."""
     probs = probs or DEFAULT_PROBS
     pa = F.percentile_approx(metric_col, probs, 10_000)
-    per_group = metrics.groupBy(group_col).agg(pa.alias("q"))
-    # baseline: median of each quantile position across groups
-    # (#groups rows → trivially small aggregation)
+    return metrics.groupBy(group_col).agg(pa.alias("q"))
+
+
+def drift_from_profiles(
+    per_group: DataFrame,
+    group_col: str = "part",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Judge drift over a profile frame from :func:`quantile_profiles`.
+    Baseline: per-prob median across groups (#groups rows — trivial)."""
     overall = (
         per_group.select(F.posexplode("q").alias("i", "qv"))
         .groupBy("i")
@@ -80,6 +85,25 @@ def drift_by_quantiles(
         F.col(group_col),
         gap.alias("drift_score"),
         (gap > threshold).alias("drifted"),
+    )
+
+
+def drift_by_quantiles(
+    metrics: DataFrame,
+    group_col: str = "part",
+    metric_col: str = "metric",
+    probs: list[float] | None = None,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """→ (part, drift_score, drifted): per-group quantile profile vs a
+    **robust baseline** — the per-prob *median across groups* — so one
+    drifted partition can't pollute its own yardstick (a pooled-global
+    baseline shifts with the outlier). drift_score = max relative
+    quantile gap over the grid."""
+    return drift_from_profiles(
+        quantile_profiles(metrics, group_col, metric_col, probs),
+        group_col=group_col,
+        threshold=threshold,
     )
 
 

@@ -10,6 +10,13 @@ parquet; a human summary JSON with per-constraint totals and the
 first ≤100 violating keys per (constraint, detail) category, ordered
 by key (the reference keeps sorted TreeSets,
 CheckDiffResult.initEmptyCollections:132-136).
+
+Chunked runs (``__main__ --chunk-partitions``) write each wave into a
+``chunk=<id>`` subdirectory — re-running a wave OVERWRITES its own
+subdir, so a killed-and-resumed run never double-counts (idempotent
+retry, same property Spark task retries rely on); the final summary
+reads the whole directory tree back (Spark partition discovery on the
+``chunk=`` dirs).
 """
 
 from __future__ import annotations
@@ -17,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -25,12 +33,41 @@ from opengauss_tools_datachecker_performance_spark.plans.runner import Validatio
 MAX_DISPLAY_SIZE = 100  # CheckResultConstants.java:34
 
 
-def write_report(result: ValidationResult, out_dir: str) -> dict:
-    os.makedirs(out_dir, exist_ok=True)
-    result.violations.write.mode("overwrite").parquet(os.path.join(out_dir, "violations.parquet"))
-    result.verdicts.write.mode("overwrite").parquet(os.path.join(out_dir, "verdicts.parquet"))
+def _frame_path(out_dir: str, name: str, chunk: int | None) -> str:
+    base = os.path.join(out_dir, name)
+    return base if chunk is None else os.path.join(base, f"chunk={chunk}")
 
-    verdict_rows = result.verdicts.collect()  # grid: #parts × #constraints
+
+def write_frames(
+    result: ValidationResult, out_dir: str, chunk: int | None = None
+) -> None:
+    """Write the violation + verdict frames. With ``chunk`` set, the
+    write is scoped (and idempotent) to that wave's subdirectory."""
+    os.makedirs(out_dir, exist_ok=True)
+    result.violations.write.mode("overwrite").parquet(
+        _frame_path(out_dir, "violations.parquet", chunk)
+    )
+    result.verdicts.write.mode("overwrite").parquet(
+        _frame_path(out_dir, "verdicts.parquet", chunk)
+    )
+
+
+def _read_frames(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame]:
+    cols_vio = ["part", "constraint", "key", "span_idx", "detail"]
+    cols_ver = ["part", "constraint", "n_violations", "status"]
+    vio = spark.read.parquet(os.path.join(out_dir, "violations.parquet")).select(*cols_vio)
+    ver = spark.read.parquet(os.path.join(out_dir, "verdicts.parquet")).select(*cols_ver)
+    return vio, ver
+
+
+def summarize_dir(
+    spark: SparkSession, out_dir: str, schema_ok: bool = True, schema_message: str = ""
+) -> dict:
+    """Build summary.json + success/failed logs from the written
+    frames (covers every chunk written so far, including those from a
+    previous killed run)."""
+    violations, verdicts = _read_frames(spark, out_dir)
+    verdict_rows = verdicts.collect()  # grid: #parts × #constraints
     by_constraint: dict[str, dict] = {}
     for r in verdict_rows:
         c = by_constraint.setdefault(
@@ -39,11 +76,13 @@ def write_report(result: ValidationResult, out_dir: str) -> dict:
         c["n_violations"] += r["n_violations"]
         if r["status"] == "fail":
             c["failed_partitions"].append(r["part"])
+    for c in by_constraint.values():
+        c["failed_partitions"].sort()
 
     # first ≤100 keys per (constraint, detail) category, key-ordered
     w = Window.partitionBy("constraint", "detail").orderBy("key")
     display = (
-        result.violations.withColumn("rn", F.row_number().over(w))
+        violations.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= MAX_DISPLAY_SIZE)
         .drop("rn")
         .collect()
@@ -56,10 +95,10 @@ def write_report(result: ValidationResult, out_dir: str) -> dict:
         )
 
     summary = {
-        "schema_ok": result.schema_ok,
-        "schema_message": result.schema_message,
+        "schema_ok": schema_ok,
+        "schema_message": schema_message,
         "result": "success"
-        if result.schema_ok and all(r["status"] == "pass" for r in verdict_rows)
+        if schema_ok and all(r["status"] == "pass" for r in verdict_rows)
         else "failed",
         "constraints": by_constraint,
         "display_keys": display_keys,
@@ -67,13 +106,21 @@ def write_report(result: ValidationResult, out_dir: str) -> dict:
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2, sort_keys=True)
     # success.log / failed.log analogues
-    passed = sorted(
-        {r["part"] for r in verdict_rows}
-        - {r["part"] for r in verdict_rows if r["status"] == "fail"}
-    )
     failed = sorted({r["part"] for r in verdict_rows if r["status"] == "fail"})
+    passed = sorted({r["part"] for r in verdict_rows} - set(failed))
     with open(os.path.join(out_dir, "success.log"), "w") as f:
         f.writelines(f"partition {p}: pass\n" for p in passed)
     with open(os.path.join(out_dir, "failed.log"), "w") as f:
         f.writelines(f"partition {p}: fail\n" for p in failed)
     return summary
+
+
+def write_report(result: ValidationResult, out_dir: str) -> dict:
+    """Single-wave convenience: write frames, then summarize them."""
+    write_frames(result, out_dir)
+    return summarize_dir(
+        result.verdicts.sparkSession,
+        out_dir,
+        schema_ok=result.schema_ok,
+        schema_message=result.schema_message,
+    )

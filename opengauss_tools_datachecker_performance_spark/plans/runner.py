@@ -23,7 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from opengauss_tools_datachecker_performance_spark.checks.drift import (
-    drift_by_quantiles,
+    drift_from_profiles,
+    quantile_profiles,
 )
 from opengauss_tools_datachecker_performance_spark.checks.schema_check import (
     DOCS_SCHEMA,
@@ -61,6 +62,16 @@ class ValidationResult:
 
 def _empty_violations(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], _VIOLATION_SCHEMA)
+
+
+def drift_verdicts(drift: DataFrame) -> DataFrame:
+    """(part, drift_score, drifted) → verdict-grid rows for 'drift'."""
+    return drift.select(
+        F.col("part"),
+        F.lit("drift").alias("constraint"),
+        F.col("drifted").cast("int").cast("long").alias("n_violations"),
+        F.when(F.col("drifted"), "fail").otherwise("pass").alias("status"),
+    )
 
 
 def _enriched_digests(docs: DataFrame) -> DataFrame:
@@ -117,6 +128,7 @@ def validate_docs(
     two_phase: bool = True,
     eager: bool = True,
     max_violations_per_partition: int | None = None,
+    skip_drift: bool = False,
 ) -> ValidationResult:
     """Run every applicable check; returns violations + verdict grid.
 
@@ -265,11 +277,19 @@ def validate_docs(
             .drop("_rn")
         )
 
-    # --- drift (partition-level; metric rides on the digest frame) ---
-    drift = drift_by_quantiles(
+    # --- drift (partition-level; metric rides on the digest frame).
+    # The per-partition quantile PROFILES are always exposed: a chunked
+    # run (``__main__ --chunk-partitions``) sets skip_drift=True,
+    # persists each wave's profiles, and judges drift once over their
+    # union so the baseline is run-global regardless of waving. ---
+    drift_prof = quantile_profiles(
         dig_src.select("part", F.col("text_len").alias("metric")),
         group_col="part",
-        threshold=drift_threshold,
+    )
+    drift = (
+        None
+        if skip_drift
+        else drift_from_profiles(drift_prof, threshold=drift_threshold)
     )
 
     # --- verdict grid: partitions × constraints, zero-filled ---
@@ -283,13 +303,8 @@ def validate_docs(
             "status", F.when(F.col("n_violations") > 0, "fail").otherwise("pass")
         )
     )
-    drift_verdict = drift.select(
-        F.col("part"),
-        F.lit("drift").alias("constraint"),
-        F.col("drifted").cast("int").cast("long").alias("n_violations"),
-        F.when(F.col("drifted"), "fail").otherwise("pass").alias("status"),
-    )
-    verdicts = verdicts.unionByName(drift_verdict)
+    if drift is not None:
+        verdicts = verdicts.unionByName(drift_verdicts(drift))
 
     return ValidationResult(
         violations=violations,
@@ -298,6 +313,7 @@ def validate_docs(
         schema_message=sres.message,
         extras={
             "drift": drift,
+            "drift_profiles": drift_prof,
             "digests_source": dig_src,
             "digests_sink": dig_sink,
             "diffs": diffs,

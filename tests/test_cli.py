@@ -49,3 +49,115 @@ def test_cli_resume_skips_done(spark, tmp_path):
     )
     assert rc == 0
     assert not os.path.exists(os.path.join(str(tmp_path / "r2"), "summary.json"))
+
+
+def test_cli_chunked_waves_match_single_shot(spark, tmp_path):
+    """--chunk-partitions waves must produce the same verdicts and
+    summary totals as one wave, with per-wave lineage appended."""
+    from opengauss_tools_datachecker_performance_spark.plans.lineage import (
+        completed_partitions,
+    )
+
+    corpus = _setup(spark, tmp_path)
+    args = [
+        "--source", f"{corpus}/docs_source.parquet",
+        "--sink", f"{corpus}/docs_sink.parquet",
+        "--assets", f"{corpus}/assets.parquet",
+    ]
+    r_one = str(tmp_path / "one")
+    r_chk = str(tmp_path / "chk")
+    ckpt = str(tmp_path / "ckpt_chk")
+    main(args + ["--report-dir", r_one], spark=spark)
+    main(
+        args + ["--report-dir", r_chk, "--chunk-partitions", "2",
+                "--checkpoint-dir", ckpt],
+        spark=spark,
+    )
+    assert completed_partitions(spark, ckpt) == {0, 1, 2, 3}
+    s_one = json.load(open(os.path.join(r_one, "summary.json")))
+    s_chk = json.load(open(os.path.join(r_chk, "summary.json")))
+    assert s_one["constraints"] == s_chk["constraints"]
+    ver_one = {
+        tuple(r) for r in spark.read.parquet(f"{r_one}/verdicts.parquet")
+        .select("part", "constraint", "n_violations", "status").collect()
+    }
+    ver_chk = {
+        tuple(r) for r in spark.read.parquet(f"{r_chk}/verdicts.parquet")
+        .select("part", "constraint", "n_violations", "status").collect()
+    }
+    assert ver_one == ver_chk
+
+
+def test_cli_kill_and_resume(tmp_path):
+    """Real kill -9 mid-run: the resumed process must finish ONLY the
+    pending waves and the merged report must equal a clean run's."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    corpus = str(tmp_path / "corpus")
+    # generate via a subprocess session so the test session's master
+    # settings don't matter
+    gen = subprocess.run(
+        [sys.executable, "-c", (
+            "import sys; sys.path.insert(0, %r); "
+            "from opengauss_tools_datachecker_performance_spark import get_spark; "
+            "from opengauss_tools_datachecker_performance_spark.synth import write_corpus; "
+            "s = get_spark(app_name='gen', master='local[4]', shuffle_partitions=8); "
+            "write_corpus(s, %r, n_docs=3000, n_assets=100, n_partitions=8); s.stop()"
+        ) % (repo, corpus)],
+        cwd=repo, capture_output=True, text=True, timeout=300,
+    )
+    assert gen.returncode == 0, gen.stderr[-2000:]
+    report = str(tmp_path / "report")
+    ckpt = str(tmp_path / "ckpt")
+    cmd = [
+        sys.executable, "-m", "opengauss_tools_datachecker_performance_spark",
+        "--source", f"{corpus}/docs_source.parquet",
+        "--sink", f"{corpus}/docs_sink.parquet",
+        "--assets", f"{corpus}/assets.parquet",
+        "--report-dir", report, "--checkpoint-dir", ckpt,
+        "--chunk-partitions", "2", "--resume",
+        "--master", "local[4]",
+    ]
+    env = dict(os.environ, SPARK_GRAFT_SHUFFLE_PARTITIONS="8",
+               SPARK_GRAFT_DRIVER_MEM="2g")
+    p = subprocess.Popen(cmd, cwd=repo, env=env,
+                         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                         text=True)
+    # kill as soon as the first wave's lineage lands on disk
+    ledger = os.path.join(ckpt, "partition_ledger.parquet")
+    deadline = time.monotonic() + 240
+    while time.monotonic() < deadline:
+        if os.path.isdir(ledger) and any(
+            f.endswith(".parquet") for f in os.listdir(ledger)
+        ):
+            break
+        if p.poll() is not None:
+            break
+        time.sleep(0.3)
+    killed_midway = p.poll() is None
+    if killed_midway:
+        p.send_signal(signal.SIGKILL)
+    p.wait(timeout=60)
+
+    # resume: must complete the remaining waves and exit by verdict
+    out = subprocess.run(cmd, cwd=repo, env=env, capture_output=True,
+                         text=True, timeout=600)
+    assert out.returncode in (0, 1), out.stderr[-2000:]
+    if killed_midway:
+        assert "[resume]" in out.stdout and "pending" in out.stdout
+    summary = json.load(open(os.path.join(report, "summary.json")))
+    # the corpus seeds violations → merged report must show them all
+    assert summary["result"] == "failed"
+    assert summary["constraints"]["consistency"]["n_violations"] > 0
+    # verdict grid complete across ALL 8 partitions despite the kill
+    import duckdb
+    parts = {
+        r[0] for r in duckdb.sql(
+            f"SELECT DISTINCT part FROM '{report}/verdicts.parquet/**/*.parquet'"
+        ).fetchall()
+    }
+    assert parts == set(range(8))
