@@ -1,0 +1,84 @@
+"""Skew handling (SURVEY.md X1; north rule: "skew handled explicitly").
+
+Where skew can and cannot bite this engine:
+
+* **groupBy aggregations** (bucket XOR signatures, verdict counts,
+  quantile profiles) are skew-immune by construction: Spark's hash
+  aggregates partial-aggregate map-side, so a reducer receives one
+  combined row per map task per key, never the raw row count.
+* **The diff join** keys on ``doc_id`` (unique per side ⇒ ≤ 2 rows per
+  key) — no hot keys possible.
+* **The referential join** distincts media refs before the anti-join
+  and broadcasts the dangling set — a media_ref referenced by millions
+  of spans is collapsed map-side first.
+* What remains is **physical-partition skew**: a hot ``part`` (or a
+  hot doc_id prefix feeding a partitioner) makes one TASK heavy in any
+  per-partition pass. Two levers, both here:
+  - AQE skew-join splitting + runtime coalescing (session.py, on by
+    default) repairs it at shuffle boundaries;
+  - :func:`salted_repartition` repairs it at the source: spread any
+    hot grouping value across ``salt_buckets`` tasks deterministically.
+
+Determinism note: the salt is derived from hashes of OTHER columns of
+the row (not ``rand()``/``monotonically_increasing_id``), so Spark
+task retries re-produce identical placement — the same property the
+digest layer relies on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salt_col(cols: list[str], salt_buckets: int) -> Column:
+    """Deterministic salt in [0, salt_buckets): hash of the given
+    columns (use value/content columns, NOT the hot key itself)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salt_buckets))
+
+
+def salted_repartition(
+    df: DataFrame,
+    key_col: str,
+    n_partitions: int,
+    salt_buckets: int | None = None,
+    salt_from: list[str] | None = None,
+) -> DataFrame:
+    """Repartition by (key, salt) so a hot ``key_col`` value occupies
+    every task instead of one.  ``salt_from`` defaults to every other
+    column (content-derived, retry-stable).  ``salt_buckets`` defaults
+    to ``4 × n_partitions``: the (key, salt) combos land in partitions
+    by hash, so the bucket count must comfortably exceed the partition
+    count or balls-in-bins collisions leave a residual ~2-3× skew.
+
+    Aggregations over the result use the two-level pattern:
+    ``groupBy(key, salt).agg(partial)`` then ``groupBy(key).agg(merge)``
+    — for commutative folds (counts, sums, bit_xor digests) the merge
+    is the same function."""
+    salt_from = salt_from or [c for c in df.columns if c != key_col]
+    if not salt_from:
+        raise ValueError("need at least one non-key column to derive the salt")
+    if salt_buckets is None:
+        salt_buckets = 4 * n_partitions
+    return df.repartition(
+        n_partitions, F.col(key_col), salt_col(salt_from, salt_buckets)
+    )
+
+
+def partition_sizes(df: DataFrame) -> list[int]:
+    """Rows per physical partition (diagnostic; one tiny agg job)."""
+    rows = (
+        df.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    return sorted((r["count"] for r in rows), reverse=True)
+
+
+def skew_factor(df: DataFrame) -> float:
+    """max/mean partition size — 1.0 is perfectly balanced."""
+    sizes = partition_sizes(df)
+    if not sizes or sum(sizes) == 0:
+        return 1.0
+    return max(sizes) / (sum(sizes) / len(sizes))
