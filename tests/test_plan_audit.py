@@ -1,0 +1,29 @@
+"""Catalog-wide physical-plan audit: NO query in the driver contract
+may plan a Cartesian product, a row-at-a-time Python UDF, an
+undeclared Arrow/pandas eval node, or an unbounded global sort.
+(Complements the targeted assertions in test_plans.py.)"""
+
+from __future__ import annotations
+
+import pytest
+
+from opengauss_tools_datachecker_performance_spark.entry_queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+#: documented Arrow-batched paths (multimodal decode, t-digest UDAF)
+ALLOW_ARROW = {"multimodal_features", "drift_tdigest", "frame_sample_plan"}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_catalog_plan_is_clean(spark, name):
+    plan = QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, name
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if name not in ALLOW_ARROW:
+        for node in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+            assert node not in plan, f"{name}: undeclared Python node {node}"
+    if "rangepartitioning" in plan:
+        assert "TakeOrderedAndProject" in plan or name in ALLOW_ARROW, (
+            f"{name}: unbounded global sort"
+        )
