@@ -57,6 +57,44 @@ def canon_boolean(c: Column) -> Column:
     return c.cast("boolean").cast("string")
 
 
+def canon_bit(c: Column) -> Column:
+    """bit(1) → "0"/"1" — distinct from boolean's "true"/"false"
+    (SimpleTypeHandlerFactory.java:87-95)."""
+    return c.cast("boolean").cast("int").cast("string")
+
+
+def canon_unsigned(c: Column) -> Column:
+    """unsigned bigint → full-precision decimal string; Spark has no
+    unsigned longs, so values arriving as decimal(20,0)/string pass
+    through a decimal cast (SimpleTypeHandlerFactory.java:412-424)."""
+    return c.cast("decimal(20,0)").cast("string")
+
+
+def canon_time(c: Column) -> Column:
+    """TIME-of-day → ``HH:mm:ss`` (SimpleTypeHandlerFactory.java:209-214).
+    Accepts timestamp-like input; Spark's TIME type (4.x) also formats
+    through the same expression after a timestamp cast."""
+    return F.date_format(c.cast("timestamp"), "HH:mm:ss")
+
+
+def canon_double_plain(c: Column) -> Column:
+    """Double → string with scientific notation expanded, mirroring the
+    reference's BigDecimal.toPlainString expansion
+    (SimpleTypeHandlerFactory.java:262-358). Values whose Spark string
+    form is already plain pass through unchanged; E-notation values are
+    re-rendered via a wide decimal cast with trailing zeros trimmed.
+    (Bit-compatibility with Java's toString is NOT the contract —
+    SURVEY.md §1.4 — only determinism + injectivity on distinct values.)
+    """
+    s = c.cast("double").cast("string")
+    expanded = F.regexp_replace(
+        c.cast("double").cast("decimal(38,18)").cast("string"),
+        r"\.?0+$",
+        "",
+    )
+    return F.when(s.contains("E"), expanded).otherwise(s)
+
+
 def canon_binary(c: Column) -> Column:
     """bytes → upper-case hex (HexUtil + SimpleTypeHandlerFactory.java:489-510)."""
     return F.upper(F.hex(c))

@@ -1,0 +1,123 @@
+"""Canonicalization layer vs the reference's type-handler table.
+
+Mirrors the reference's golden type-canonicalization tests
+(datachecker-extract/src/test/resources/mysql_opgs/expect/t_*.json,
+SURVEY.md §5): for each type family, edge-case values in → expected
+canonical strings out.  Here the handler is a Catalyst expression, so
+one select over a literal frame exercises the whole registry.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from opengauss_tools_datachecker_performance_spark.canon import (
+    canon_binary,
+    canon_bit,
+    canon_boolean,
+    canon_date,
+    canon_decimal,
+    canon_double_plain,
+    canon_expr,
+    canon_float,
+    canon_integer,
+    canon_time,
+    canon_timestamp,
+    canon_unsigned,
+    canonical_projection,
+)
+
+
+def _one(spark, value, dtype, fn, **kw):
+    df = spark.createDataFrame([(value,)], T.StructType([T.StructField("c", dtype)]))
+    return df.select(fn(F.col("c"), **kw).alias("o")).first()["o"]
+
+
+def test_integer_families(spark):
+    assert _one(spark, 42, T.IntegerType(), canon_integer) == "42"
+    assert _one(spark, -7, T.LongType(), canon_integer) == "-7"
+    assert _one(spark, 0, T.ShortType(), canon_integer) == "0"
+
+
+def test_decimal_to_plain_string(spark):
+    # reference golden: decimal(20,6) of 1 → "1.000000" (t_decimal.json)
+    v = decimal.Decimal("1")
+    assert _one(spark, v, T.DecimalType(20, 6), canon_decimal) == "1.000000"
+    v = decimal.Decimal("12345678901234.567890")
+    assert (
+        _one(spark, v, T.DecimalType(20, 6), canon_decimal)
+        == "12345678901234.567890"
+    )
+
+
+def test_float_scale_formatting(spark):
+    # %.<scale>f with no thousands separators (SimpleTypeHandlerFactory:63-75)
+    assert _one(spark, 1234.5, T.DoubleType(), canon_float, scale=2) == "1234.50"
+    assert _one(spark, 1234567.891, T.DoubleType(), canon_float, scale=1) == "1234567.9"
+
+
+def test_double_plain_expands_scientific(spark):
+    # Spark's double→string yields E-notation for 1e10; the reference
+    # expands it (BigDecimal.toPlainString)
+    assert _one(spark, 1.0e10, T.DoubleType(), canon_double_plain) == "10000000000"
+    assert _one(spark, 1.5e-5, T.DoubleType(), canon_double_plain) == "0.000015"
+    # plain values pass through Spark's shortest round-trip form
+    assert _one(spark, 2.5, T.DoubleType(), canon_double_plain) == "2.5"
+
+
+def test_boolean_vs_bit(spark):
+    # boolean → "true"/"false" (:520-522); bit(1) → "0"/"1" (:87-95)
+    assert _one(spark, True, T.BooleanType(), canon_boolean) == "true"
+    assert _one(spark, False, T.BooleanType(), canon_boolean) == "false"
+    assert _one(spark, True, T.BooleanType(), canon_bit) == "1"
+    assert _one(spark, False, T.BooleanType(), canon_bit) == "0"
+
+
+def test_unsigned_bigint_full_precision(spark):
+    # 2^64-1 does not fit a signed long; decimal(20,0) carries it
+    v = decimal.Decimal(2**64 - 1)
+    assert (
+        _one(spark, v, T.DecimalType(20, 0), canon_unsigned)
+        == "18446744073709551615"
+    )
+
+
+def test_binary_upper_hex(spark):
+    assert _one(spark, bytearray(b"\xde\xad\xbe\xef"), T.BinaryType(), canon_binary) == "DEADBEEF"
+
+
+def test_date_time_timestamp(spark):
+    d = datetime.date(2024, 2, 29)
+    assert _one(spark, d, T.DateType(), canon_date) == "2024-02-29"
+    ts = datetime.datetime(2024, 2, 29, 13, 5, 9, 123000)
+    assert _one(spark, ts, T.TimestampType(), canon_timestamp) == "2024-02-29 13:05:09"
+    assert (
+        _one(spark, ts, T.TimestampType(), canon_timestamp, scale=3)
+        == "2024-02-29 13:05:09.123"
+    )
+    assert _one(spark, ts, T.TimestampType(), canon_time) == "13:05:09"
+
+
+def test_null_stays_null_at_canon_layer(spark):
+    # NULL → SQL NULL here; '' substitution happens only inside digests
+    # (HashHandler.java:58 split preserved — canon.py module docstring)
+    df = spark.createDataFrame(
+        [(None,)], T.StructType([T.StructField("c", T.StringType())])
+    )
+    assert df.select(canon_expr(df.schema.fields[0]).alias("o")).first()["o"] is None
+
+
+def test_canonical_projection_keeps_names_and_stringifies(spark):
+    df = spark.createDataFrame(
+        [(1, 2.5, datetime.date(2020, 1, 2), True)],
+        "a int, b double, d date, f boolean",
+    )
+    out = canonical_projection(df)
+    assert [f.name for f in out.schema.fields] == ["a", "b", "d", "f"]
+    assert all(f.dataType == T.StringType() for f in out.schema.fields)
+    r = out.first()
+    assert (r["a"], r["b"], r["d"], r["f"]) == ("1", "2.5", "2020-01-02", "true")
