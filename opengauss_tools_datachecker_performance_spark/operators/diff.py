@@ -152,7 +152,7 @@ def diff_docs(
 def first_divergent_span(
     src_docs: DataFrame,
     sink_docs: DataFrame,
-    updated_keys: DataFrame,
+    updated_keys: DataFrame | None,
     doc_id_col: str = "doc_id",
     spans_col: str = "spans",
 ) -> DataFrame:
@@ -162,6 +162,11 @@ def first_divergent_span(
     Difference.idx CSV row locator (.../entry/check/Difference.java:27-33),
     refined to span granularity per the north rule (violation rows =
     doc_id + constraint + span index).
+
+    ``updated_keys=None`` means the inputs are ALREADY restricted to
+    the updated keys (the runner pushes an IN-list filter into the
+    scans so parquet row-group pruning applies); otherwise a broadcast
+    semi-join restricts them here.
 
     Pure Catalyst: zip_with over the two sorted span arrays, then the
     first false position — no Python.
@@ -174,11 +179,14 @@ def first_divergent_span(
     s = src_docs.select(
         F.col(doc_id_col).cast("string").alias("key"),
         _sorted_spans(F.col(spans_col)).alias("src_spans"),
-    ).join(updated_keys.select("key"), "key", "left_semi")
+    )
     t = sink_docs.select(
         F.col(doc_id_col).cast("string").alias("key"),
         _sorted_spans(F.col(spans_col)).alias("sink_spans"),
-    ).join(updated_keys.select("key"), "key", "left_semi")
+    )
+    if updated_keys is not None:
+        s = s.join(updated_keys.select("key"), "key", "left_semi")
+        t = t.join(updated_keys.select("key"), "key", "left_semi")
     j = s.join(t, "key", "inner")
     eq = F.zip_with(
         F.col("src_spans"),

@@ -38,6 +38,7 @@ from opengauss_tools_datachecker_performance_spark.checks.uniqueness import (
 )
 from opengauss_tools_datachecker_performance_spark.digest import (
     bucket_of,
+    bucket_signatures,
     span_sequence_hash_col,
 )
 from opengauss_tools_datachecker_performance_spark.functions.hashing import k_hash
@@ -129,6 +130,8 @@ def validate_docs(
     eager: bool = True,
     max_violations_per_partition: int | None = None,
     skip_drift: bool = False,
+    max_inlist_keys: int = 32_768,
+    driver_exchange: bool = False,
 ) -> ValidationResult:
     """Run every applicable check; returns violations + verdict grid.
 
@@ -185,18 +188,58 @@ def validate_docs(
     dig_sink = (
         _enriched_digests(docs_sink).persist() if docs_sink is not None else None
     )
+    # two-phase pruning state decided at the barrier (eager path):
+    #   no_diff=True          → every bucket signature matched, skip the
+    #                           row-level join entirely
+    #   bucket_prune=[...]    → mismatched bucket ids, pushed into the
+    #                           cached digest scans as a literal filter
+    #   both None/False       → lazy path: diff_digests does its own
+    #                           in-plan signature agg + broadcast
+    no_diff = False
+    bucket_prune: list[int] | None = None
     if eager:
         # Materialize the digest caches as an explicit barrier before any
         # downstream branch is planned against them. Without this, the
         # first consumer to run is a driver-side BROADCAST BUILD (the
         # mismatched-bucket set), so the heaviest stage of the whole job
         # — the full doc scan + digest — executes inside a blocking
-        # broadcast future while the main job's stages sit idle. One
-        # count() per side turns the scan into an ordinary fully-parallel
-        # job; every later branch then reads the in-memory columnar cache.
-        dig_src.count()
-        if dig_sink is not None:
-            dig_sink.count()
+        # broadcast future while the main job's stages sit idle.
+        #
+        # Optional driver_exchange path (DEFAULT OFF — measured worse):
+        # make the barrier action the digest-tree leaf aggregation
+        # itself — collect the ≤2^16 (bucket, sig, n_rows) rows per
+        # side and compare them in the driver, like the reference's
+        # endpoints exchanging Merkle roots (DataCheckRunnable.java:
+        # 359-375). Interleaved A/B at 3M docs (scripts/
+        # ab_driver_exchange.py): 46.1 s vs 28.4 s min — the literal
+        # IN filter of ~10^4 mismatched bucket ids bloats the logical
+        # plan that every downstream action re-analyzes, and the
+        # barrier becomes two sequential shuffle+collect jobs instead
+        # of cheap counts. The in-plan formulation (union+agg +
+        # broadcast semi-join, operators/diff.py) keeps the signature
+        # compare distributed and the plans small — the right call on
+        # a real cluster for the same reasons.
+        if dig_sink is not None and two_phase and driver_exchange:
+            src_sigs = {
+                r["bucket"]: (r["sig"], r["n_rows"])
+                for r in bucket_signatures(dig_src).collect()
+            }
+            sink_sigs = {
+                r["bucket"]: (r["sig"], r["n_rows"])
+                for r in bucket_signatures(dig_sink).collect()
+            }
+            seen = set(src_sigs) | set(sink_sigs)
+            bad = sorted(b for b in seen if src_sigs.get(b) != sink_sigs.get(b))
+            if not bad:
+                no_diff = True
+            elif len(bad) <= max(1, len(seen) // 2):
+                bucket_prune = bad
+            # else: most buckets dirty — pruning can't pay, fall through
+            # to the plain full-outer join over the whole caches
+        else:
+            dig_src.count()
+            if dig_sink is not None:
+                dig_sink.count()
 
     parts_all = dig_src.select("part").distinct()
     if dig_sink is not None:
@@ -210,17 +253,68 @@ def validate_docs(
         # persist: the diff result is tiny (≈ diff-rate × rows) but its
         # subtree is the bucket-prune + full-outer join over both digest
         # frames; it feeds BOTH the violation rows and the updated-key
-        # broadcast below — without persist the broadcast build would
-        # re-execute the whole join inside a driver-blocking future.
-        diffs = diff_digests(
-            dig_src, dig_sink, two_phase=two_phase, carry_cols=["part"]
-        ).persist()
+        # IN-list below — without persist that consumer would re-execute
+        # the whole join subtree.
+        if no_diff:
+            # all 2^16 leaf signatures matched at the barrier — span-
+            # sequence equality holds everywhere, no row-level join
+            diffs = dig_src.select(
+                "key", F.lit(None).cast("string").alias("diff_type"), "part"
+            ).limit(0)
+        elif bucket_prune is not None:
+            from opengauss_tools_datachecker_performance_spark.operators.diff import (
+                classify_diff,
+            )
+
+            s = dig_src.filter(F.col("bucket").isin(bucket_prune))
+            t = dig_sink.filter(F.col("bucket").isin(bucket_prune))
+            diffs = classify_diff(s, t, carry_cols=["part"])
+        else:
+            diffs = diff_digests(
+                dig_src, dig_sink, two_phase=two_phase, carry_cols=["part"]
+            )
+        diffs = diffs.persist()
         if eager:
             diffs.count()
-        # updated-key set is small → broadcast so span location does a
-        # broadcast semi-join instead of shuffling both doc scans
-        upd = F.broadcast(diffs.filter(F.col("diff_type") == "update").select("key"))
-        span_loc = first_divergent_span(docs_source, docs_sink, upd)
+        # --- span location for updated keys. The naive plan re-scans
+        # BOTH doc tables (all span bodies) just to semi-join a tiny
+        # updated-key set — at bench scale that one stage cost as much
+        # as the digest scan itself, and at 100 TB it would double the
+        # job's I/O. Instead, read the updated (key, part) pairs off
+        # the persisted diff (tiny: diff-rate × rows) and push them
+        # into the scans as literal filters: the partition IN-list
+        # prunes whole files (the doc table is written partition-
+        # clustered) and the doc_id filter prunes row groups via
+        # parquet stats — a DPP-style runtime pushdown, the same trick
+        # as the reference's IN-list secondary check
+        # (IncrementCheckService re-extracts only changed PKs). Falls
+        # back to the broadcast-semi-join full scan above the IN-list
+        # cap (a diff that large means most row groups are touched
+        # anyway, so pushdown stops paying).
+        upd_kp = diffs.filter(F.col("diff_type") == "update").select("key", "part")
+        # count (cheap: diffs is persisted) BEFORE collecting, so a
+        # pathological everything-differs diff never floods the driver
+        n_upd = upd_kp.count() if max_inlist_keys > 0 else None
+        upd_rows = (
+            upd_kp.collect()
+            if n_upd is not None and n_upd <= max_inlist_keys
+            else None
+        )
+        if n_upd == 0:
+            span_loc = spark.createDataFrame([], "key string, span_idx int")
+        elif upd_rows is not None:
+            keys = [r["key"] for r in upd_rows]
+            parts = sorted({r["part"] for r in upd_rows})
+            src_f = docs_source.filter(
+                F.col("part").isin(parts) & F.col("doc_id").isin(keys)
+            )
+            sink_f = docs_sink.filter(
+                F.col("part").isin(parts) & F.col("doc_id").isin(keys)
+            )
+            span_loc = first_divergent_span(src_f, sink_f, None)
+        else:
+            upd = F.broadcast(upd_kp.select("key"))
+            span_loc = first_divergent_span(docs_source, docs_sink, upd)
         diff_v = (
             diffs.join(span_loc, "key", "left")
             .select(
