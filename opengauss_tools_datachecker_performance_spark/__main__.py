@@ -6,12 +6,13 @@ Kafka; its /start full-check flow is traced in SURVEY.md §3.1. Here
 the entire lifecycle is ONE Spark job: driver = check service,
 executors = extract workers, shuffle = Kafka.
 
-Usage (cluster):
+Usage (cluster; zip built by scripts/make_pyfiles.py):
 
-    spark-submit --py-files opengauss_tools_datachecker_performance_spark.zip \
-        -m opengauss_tools_datachecker_performance_spark \
-        --source s3://bucket/docs_source --sink s3://bucket/docs_sink \
-        --assets s3://bucket/assets --report-dir out/ \
+    spark-submit --master yarn --deploy-mode cluster \
+        --py-files dist/opengauss_tools_datachecker_performance_spark.zip \
+        scripts/submit_job.py \
+        --source iceberg:db.docs_source --sink iceberg:db.docs_sink \
+        --assets iceberg:db.assets --report-dir out/ \
         --checkpoint-dir ckpt/ --resume
 
 or locally: ``python -m opengauss_tools_datachecker_performance_spark ...``

@@ -38,16 +38,22 @@ def get_spark(
     so the bench harness can run the identical job at two parallelism
     levels for the N vs 4N scaling-efficiency evidence.
     """
-    if master is None:
+    if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
+        # no pre-existing JVM gateway → not under spark-submit: default
+        # to local[N] for the bench/test harness. Under spark-submit
+        # (PythonRunner exports PYSPARK_GATEWAY_PORT) leave master unset
+        # so the submit-provided spark.master wins.
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
         )
+    builder = SparkSession.builder
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # AQE default-on (skew-join splitting + runtime coalescing are
         # essential at cluster scale). Env-togglable because AQE's

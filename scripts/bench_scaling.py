@@ -149,7 +149,13 @@ second {n_docs:,}-doc table — i.e. ≥ 2 × {n_docs:,} rows digested and
 compared per run.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # BENCH/BASELINE.md carries hand-curated analysis on top of a past
+    # generated run — don't clobber it by default; set the env var to
+    # write elsewhere and merge numbers by hand.
+    out = os.environ.get(
+        "SPARK_GRAFT_SCALING_OUT", os.path.join(REPO, "BENCH", "BASELINE.md")
+    )
+    with open(out, "w") as f:
         f.write(md)
     print(md)
 
