@@ -236,10 +236,19 @@ def validate_docs(
                 bucket_prune = bad
             # else: most buckets dirty — pruning can't pay, fall through
             # to the plain full-outer join over the whole caches
+        elif dig_sink is not None:
+            # materialize both sides' caches as CONCURRENT jobs (Spark
+            # schedulers fill one job's straggler/stage-gap slack with
+            # the other's tasks; on a real cluster this overlaps two
+            # independent table scans)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fs = [pool.submit(dig_src.count), pool.submit(dig_sink.count)]
+                for f in fs:
+                    f.result()
         else:
             dig_src.count()
-            if dig_sink is not None:
-                dig_sink.count()
 
     parts_all = dig_src.select("part").distinct()
     if dig_sink is not None:
