@@ -62,6 +62,15 @@ def build_parser() -> argparse.ArgumentParser:
              "(0 = one wave). Wave report writes are idempotent "
              "(chunk=<id> subdirs), so retrying a half-written wave is safe.",
     )
+    p.add_argument(
+        "--emit-repair", action="store_true",
+        help="also write repair.sql/ — batched MERGE (upsert from source) "
+             "+ DELETE statements for the consistency diffs",
+    )
+    p.add_argument(
+        "--repair-batch-size", type=int, default=100,
+        help="keys per repair statement IN-list",
+    )
     p.add_argument("--run-id", default=None)
     p.add_argument("--master", default=None, help="override master (default: spark-submit / env)")
     return p
@@ -173,6 +182,19 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         write_frames(
             result, args.report_dir, chunk=(min(ch) if chunked else None)
         )
+        if args.emit_repair and result.extras.get("diffs") is not None:
+            from opengauss_tools_datachecker_performance_spark.plans.report import (
+                write_repair_sql,
+            )
+
+            write_repair_sql(
+                result.extras["diffs"],
+                args.report_dir,
+                source_table=args.source,
+                sink_table=args.sink,
+                batch_size=args.repair_batch_size,
+                chunk=(min(ch) if chunked else None),
+            )
         if chunked and result.schema_ok:
             result.extras["drift_profiles"].write.mode("overwrite").parquet(
                 os.path.join(

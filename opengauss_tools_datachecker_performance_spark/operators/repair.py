@@ -192,3 +192,81 @@ def batch_delete_dml(
             "n_keys",
         )
     )
+
+
+def _batched_key_lists(
+    keyed: DataFrame, batch_size: int, key_type: "T.DataType"
+) -> DataFrame:
+    """(key) rows → (_in, n_keys): comma-joined SQL literal lists of at
+    most ``batch_size`` keys, batched per shuffle partition (no global
+    sort, no driver collect — same pattern as batch_delete_dml)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.spark_partition_id()).orderBy("key")
+    return (
+        keyed.withColumn(
+            "_batch",
+            F.concat_ws(
+                "|",
+                F.spark_partition_id(),
+                F.floor((F.row_number().over(w) - 1) / batch_size),
+            ),
+        )
+        .groupBy("_batch")
+        .agg(
+            F.concat_ws(
+                ", ", F.sort_array(F.collect_list(sql_literal(F.col("key"), key_type)))
+            ).alias("_in"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+    )
+
+
+def doc_repair_statements(
+    diff: DataFrame,
+    source_table: str,
+    sink_table: str,
+    key_col: str = "doc_id",
+    batch_size: int = 100,
+) -> DataFrame:
+    """Repair DML for the interleaved-doc table → (sql, n_keys, kind).
+
+    The reference renders per-row INSERT/UPDATE/DELETE from re-queried
+    row values (SliceCheckResultManager.java:370-449); a doc row is an
+    array of spans, so value-literal DML is the wrong shape. The
+    Spark/Iceberg-native repair keeps the VALUES inside the engine:
+
+    * insert/update diffs → batched ``MERGE INTO sink USING (SELECT
+      ... FROM source WHERE key IN (...))`` — upsert whole docs from
+      the authoritative side (the engine's REPLACE analogue);
+    * delete diffs → batched ``DELETE FROM sink WHERE key IN (...)``.
+
+    Statements render per shuffle partition (no driver collect); each
+    touches ≤ batch_size keys so a repair executor never builds an
+    unbounded IN list.
+    """
+    kt = T.StringType()
+    upserts = _batched_key_lists(
+        diff.filter(F.col("diff_type").isin(["insert", "update"])).select("key"),
+        batch_size,
+        kt,
+    ).select(
+        F.concat(
+            F.lit(
+                f"MERGE INTO {sink_table} t USING (SELECT * FROM {source_table} "
+                f"WHERE {key_col} IN ("
+            ),
+            F.col("_in"),
+            F.lit(
+                f")) s ON t.{key_col} = s.{key_col} "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *;"
+            ),
+        ).alias("sql"),
+        "n_keys",
+        F.lit("upsert").alias("kind"),
+    )
+    deletes = batch_delete_dml(diff, key_col, sink_table, batch_size, kt).select(
+        "sql", "n_keys", F.lit("delete").alias("kind")
+    )
+    return upserts.unionByName(deletes)

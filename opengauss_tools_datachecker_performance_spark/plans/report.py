@@ -124,3 +124,29 @@ def write_report(result: ValidationResult, out_dir: str) -> dict:
         schema_ok=result.schema_ok,
         schema_message=result.schema_message,
     )
+
+
+def write_repair_sql(
+    diffs: DataFrame,
+    out_dir: str,
+    source_table: str,
+    sink_table: str,
+    key_col: str = "doc_id",
+    batch_size: int = 100,
+    chunk: int | None = None,
+) -> None:
+    """Per-table repair SQL file (reference:
+    SliceCheckResultManager.java:370-449 writes repair_*.sql next to
+    the check logs). Statements render distributed
+    (operators/repair.doc_repair_statements) and land as text files
+    under ``repair.sql/`` in the report dir."""
+    from opengauss_tools_datachecker_performance_spark.operators.repair import (
+        doc_repair_statements,
+    )
+
+    stmts = doc_repair_statements(
+        diffs, source_table, sink_table, key_col=key_col, batch_size=batch_size
+    )
+    stmts.select("sql").write.mode("overwrite").text(
+        _frame_path(out_dir, "repair.sql", chunk)
+    )

@@ -161,3 +161,54 @@ def test_cli_kill_and_resume(tmp_path):
         ).fetchall()
     }
     assert parts == set(range(8))
+
+
+def test_cli_emit_repair(spark, tmp_path):
+    corpus = _setup(spark, tmp_path)
+    report = str(tmp_path / "report_repair")
+    rc = main(
+        [
+            "--source", f"{corpus}/docs_source.parquet",
+            "--sink", f"{corpus}/docs_sink.parquet",
+            "--assets", f"{corpus}/assets.parquet",
+            "--report-dir", report,
+            "--emit-repair", "--repair-batch-size", "7",
+        ],
+        spark=spark,
+    )
+    assert rc == 1
+    stmts = [
+        r[0]
+        for r in spark.read.text(os.path.join(report, "repair.sql")).collect()
+    ]
+    merges = [s for s in stmts if s.startswith("MERGE INTO")]
+    deletes = [s for s in stmts if s.startswith("DELETE FROM")]
+    assert merges and deletes
+    # every statement is batched: ≤7 keys per IN list
+    for s in stmts:
+        inner = s.split(" IN (", 1)[1].split(")", 1)[0]
+        assert 1 <= inner.count("'") // 2 <= 7
+    # statement key sets must exactly match the diff classification
+    from opengauss_tools_datachecker_performance_spark.operators.diff import (
+        diff_docs,
+    )
+
+    src = spark.read.parquet(f"{corpus}/docs_source.parquet")
+    sink = spark.read.parquet(f"{corpus}/docs_sink.parquet")
+    diffs = {
+        r["key"]: r["diff_type"] for r in diff_docs(src, sink).collect()
+    }
+    want_upsert = {k for k, t in diffs.items() if t in ("insert", "update")}
+    want_delete = {k for k, t in diffs.items() if t == "delete"}
+
+    def keys_of(stmts_list):
+        out = set()
+        for s in stmts_list:
+            inner = s.split(" IN (", 1)[1].split(")", 1)[0]
+            out.update(x.strip().strip("'") for x in inner.split(","))
+        return out
+
+    assert keys_of(merges) == want_upsert
+    assert keys_of(deletes) == want_delete
+    # upserts pull whole docs from the authoritative source side
+    assert all("USING (SELECT * FROM " in s for s in merges)
