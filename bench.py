@@ -123,6 +123,11 @@ def main() -> None:
         "uniqueness_check",
         "referential_check",
         "column_stats",
+        # training-data-pipeline operators (documents/embeddings tables)
+        "dedup_exact",
+        "minhash_near_dup",
+        "cosine_topk",
+        "token_count",
     ]:
         t0 = time.monotonic()
         QUERIES[name](spark, sf_dir).count()

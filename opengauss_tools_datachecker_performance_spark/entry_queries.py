@@ -536,12 +536,21 @@ def _sql_simhash_bits() -> str:
     """,
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per doc (functions.text.simhash16) with portable
-    token hashes — bit-identical across engines."""
-    from opengauss_tools_datachecker_performance_spark.functions.text import simhash16
+    """16-bit SimHash per doc (functions.text.simhash16_from_hashes)
+    with portable token hashes — bit-identical across engines. Token
+    hashes materialize in their own projection step (the 16 bit-vote
+    aggregates would otherwise re-evaluate the md5 transform each)."""
+    from opengauss_tools_datachecker_performance_spark.functions.text import (
+        simhash16_from_hashes,
+        token_hash_pipeline,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+    th = token_hash_pipeline(d, "doc_id", "text")
+    return th.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        simhash16_from_hashes(F.col("th")).alias("simhash"),
+    )
 
 
 _SQL_SHINGLES = """
@@ -553,9 +562,18 @@ _SQL_SHINGLES = """
 
 
 def _sql_minhash_array() -> str:
+    """DuckDB mirror of functions.text.minhash_signature_from_hashes:
+    affine universal hashes over the base shingle hash (one md5 per
+    shingle total, not one per seed). All operands non-negative, so
+    DuckDB's % matches Spark's."""
+    from opengauss_tools_datachecker_performance_spark.functions.text import (
+        MINHASH_AB,
+        MINHASH_PRIME,
+    )
+
     mins = ", ".join(
-        f"list_min(list_transform(shingles, s -> ('0x' || substr(md5('{seed}' || ':' || s), 1, 15))::BIGINT))"
-        for seed in range(8)
+        f"list_min(list_transform(shset, h -> ({a} * (h % 2147483648) + {b}) % {MINHASH_PRIME}))"
+        for a, b in MINHASH_AB
     )
     return f"[{mins}]"
 
@@ -574,12 +592,12 @@ def _sql_minhash_array() -> str:
       SELECT doc_id, {_SQL_WS_TOKS.format(t=_SQL_NORM.format(t='text'))} AS toks FROM docs2
     ),
     sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM norm),
-    sig AS (
+    sig0 AS (
       SELECT doc_id,
-             list_distinct(list_transform(shingles, s -> {_SQL_PHASH.format(x='s')})) AS shset,
-             {_sql_minhash_array()} AS mh
+             list_distinct(list_transform(shingles, s -> {_SQL_PHASH.format(x='s')})) AS shset
       FROM sh
     ),
+    sig AS (SELECT doc_id, shset, {_sql_minhash_array()} AS mh FROM sig0),
     buckets AS (
       SELECT doc_id, b.band,
              ('0x' || substr(md5(mh[b.band*2+1]::VARCHAR || ',' || mh[b.band*2+2]::VARCHAR), 1, 15))::BIGINT AS band_key

@@ -92,9 +92,16 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized_text(text))
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """k-word shingles of the normalized text (empty if < k words)."""
-    toks = ws_tokens(normalized_text(text))
+def word_shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """k-word shingles of an ALREADY tokenized column.
+
+    ``toks`` must be a materialized attribute (a column produced by a
+    previous select), NOT an inline expression: Spark evaluates
+    higher-order-function lambdas interpreted, with no common-
+    subexpression elimination, so an inline ``toks`` expression would
+    be re-evaluated for EVERY shingle element — measured 17 s vs <1 s
+    for 5k short docs. The same discipline applies to every array this
+    module's lambdas reference (see shingle_pipeline)."""
     n = F.size(toks)
     return F.when(
         n >= k,
@@ -107,6 +114,109 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     ).otherwise(F.array(F.array_join(toks, " ")))
 
 
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles of the normalized text (empty if < k words).
+
+    NOTE: inlines the tokenization into the shingle lambda — fine for
+    one-off expressions, quadratic in the hot path (see
+    word_shingles_from_tokens). Operators should use shingle_pipeline.
+    """
+    return word_shingles_from_tokens(ws_tokens(normalized_text(text)), k)
+
+
+def shingle_pipeline(
+    df, id_col: str, text_col: str, k: int = 3, distinct: bool = True
+):
+    """(id, text) frame → (doc_id, sh) with ``sh`` the shingle-hash
+    array, built as SEPARATE projection steps (tokens → shingles →
+    hashes) so every higher-order lambda reads a materialized attribute
+    — Catalyst's CollapseProject keeps the boundaries because each
+    alias is referenced more than once downstream."""
+    from opengauss_tools_datachecker_performance_spark.functions.hashing import (
+        portable_hash64,
+    )
+
+    toks = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        ws_tokens(normalized_text(F.col(text_col))).alias("_toks"),
+    )
+    shingles = toks.select(
+        "doc_id", word_shingles_from_tokens(F.col("_toks"), k).alias("_shingles")
+    )
+    h = F.transform(F.col("_shingles"), lambda s: portable_hash64(s))
+    return shingles.select(
+        "doc_id", (F.array_distinct(h) if distinct else h).alias("sh")
+    )
+
+
+def shingle_rows(df, id_col: str, text_col: str, k: int = 3, distinct: bool = True):
+    """(id, text) frame → flat ``(doc_id, sh)`` shingle-hash ROWS.
+
+    Explode-first formulation: posexplode the token array, build each
+    k-shingle with window ``lead()`` over (doc_id, position), hash with
+    a codegen'd md5 — no higher-order-function lambdas anywhere, so the
+    whole build runs inside whole-stage codegen (measured ~4× faster
+    than the array-transform form, whose interpreted per-element eval
+    dominated). Docs with fewer than k tokens contribute one whole-doc
+    shingle (same fallback as word_shingles). The window partitions by
+    doc_id — no global sort, and the shuffle it needs is the same
+    (doc_id-keyed) one the downstream groupBy/joins want anyway.
+    """
+    from pyspark.sql.window import Window
+
+    from opengauss_tools_datachecker_performance_spark.functions.hashing import (
+        portable_hash64,
+    )
+
+    toks = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        ws_tokens(normalized_text(F.col(text_col))).alias("_toks"),
+    )
+    rows = toks.select(
+        "doc_id",
+        F.size("_toks").alias("_n"),
+        F.posexplode("_toks").alias("_i", "_tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("_i")
+    parts = [F.col("_tok")] + [F.lead("_tok", j).over(w) for j in range(1, k)]
+    big = (
+        rows.filter(F.col("_n") >= k)
+        .select(
+            "doc_id",
+            F.concat_ws(" ", *parts).alias("_shingle"),
+            (parts[-1].isNotNull() if k > 1 else F.lit(True)).alias("_full"),
+        )
+        .filter(F.col("_full"))
+    )
+    small = toks.filter(F.size("_toks") < k).select(
+        "doc_id", F.array_join("_toks", " ").alias("_shingle")
+    )
+    out = big.select(
+        "doc_id", portable_hash64(F.col("_shingle")).alias("sh")
+    ).unionByName(
+        small.select("doc_id", portable_hash64(F.col("_shingle")).alias("sh"))
+    )
+    return out.dropDuplicates(["doc_id", "sh"]) if distinct else out
+
+
+def token_hash_pipeline(df, id_col: str, text_col: str):
+    """(id, text) frame → (doc_id, th): materialized per-token portable
+    hashes (the SimHash input) — same projection-step discipline as
+    shingle_pipeline."""
+    from opengauss_tools_datachecker_performance_spark.functions.hashing import (
+        portable_hash64,
+    )
+
+    toks = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        ws_tokens(normalized_text(F.col(text_col))).alias("_toks"),
+    )
+    return toks.select(
+        "doc_id",
+        F.transform(F.col("_toks"), lambda t: portable_hash64(t)).alias("th"),
+    )
+
+
 def shingle_hashes(text: Column, k: int = 3) -> Column:
     """Distinct portable-hash values of the k-word shingle set."""
     return F.array_distinct(
@@ -114,27 +224,69 @@ def shingle_hashes(text: Column, k: int = 3) -> Column:
     )
 
 
-def minhash_signature(text: Column, k: int = 3, num_hashes: int = 8) -> Column:
-    """MinHash signature: for seed s, min over shingles of the seeded
-    portable hash. array<bigint> of length num_hashes."""
-    sh = word_shingles(text, k)
+#: affine MinHash parameters: h_i = (a_i * (h mod 2^31) + b_i) mod P.
+#: Universal-hash family over ONE base hash per shingle instead of one
+#: seeded md5 per (shingle, seed) — the classic MinHash optimization
+#: (Broder '97 uses exactly this a*x+b form). Constants are arbitrary
+#: fixed odd values < 2^31; P = 2^61-1 (Mersenne prime). a*h31+b < 2^62
+#: so the arithmetic never overflows int64, and every operand is
+#: non-negative so Spark's % and DuckDB's % agree (oracle parity).
+MINHASH_PRIME = (1 << 61) - 1
+MINHASH_AB = [
+    (1000000007, 998244353),
+    (1999999973, 1717986917),
+    (1297337473, 1073741827),
+    (1632141991, 563167303),
+    (1804289383, 846930886),
+    (1681692777, 1714636915),
+    (1957747793, 424238335),
+    (1189641421, 719885386),
+]
 
-    def seeded(seed: int):
-        # single-arg lambda factory: a 2-arg lambda would be bound by
-        # pyspark as (element, index) and the seed would silently
-        # become the array-index Column
-        return lambda s: portable_hash64_seeded(s, seed)
+
+def minhash_affine(h: Column, a: int, b: int) -> Column:
+    """One member of the affine family, as a plain codegen-able
+    expression (usable per array element or per exploded row)."""
+    return (F.lit(a) * (h % F.lit(2_147_483_648)) + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+
+def minhash_signature_from_hashes(sh: Column, num_hashes: int = 8) -> Column:
+    """MinHash signature off a MATERIALIZED shingle-hash array
+    (shingle_pipeline): array<bigint> of length num_hashes; empty
+    shingle sets yield nulls (callers treat whole-doc fallback shingles
+    upstream so sh is never empty in practice). The hot path computes
+    the same signature as 8 MIN aggregates over shingle_rows instead
+    (operators/dedup.minhash_band_buckets) — all codegen, no lambdas."""
+    def one(a: int, b: int):
+        # single-arg lambda factory: pyspark binds lambda arity, so
+        # defaulted extra args would be mis-bound as the array index
+        return lambda h: minhash_affine(h, a, b)
 
     return F.array(
-        *[F.array_min(F.transform(sh, seeded(seed))) for seed in range(num_hashes)]
+        *[
+            F.array_min(F.transform(sh, one(a, b)))
+            for a, b in MINHASH_AB[:num_hashes]
+        ]
     )
 
 
-def simhash16(text: Column) -> Column:
-    """16-bit SimHash over whitespace tokens of the normalized text:
-    bit b of token-hash votes ±1; sign of the sum sets bit b."""
-    toks = ws_tokens(normalized_text(text))
-    hashes = F.transform(toks, lambda t: portable_hash64(t))
+def minhash_signature(text: Column, k: int = 3, num_hashes: int = 8) -> Column:
+    """MinHash signature straight off a text column. One-off/test use —
+    the hot path materializes shingle hashes first (shingle_pipeline +
+    minhash_signature_from_hashes) to avoid per-element re-evaluation
+    of the tokenization inside interpreted lambdas."""
+    return minhash_signature_from_hashes(
+        F.transform(word_shingles(text, k), lambda s: portable_hash64(s)),
+        num_hashes,
+    )
+
+
+def simhash16_from_hashes(hashes: Column) -> Column:
+    """16-bit SimHash over a MATERIALIZED token-hash array
+    (token_hash_pipeline): bit b of token-hash votes ±1; sign of the
+    sum sets bit b. The 16 aggregate passes each re-evaluate their
+    input expression, so ``hashes`` must be an attribute, not an
+    inline md5 transform (same discipline as shingle_pipeline)."""
 
     def bit_vote(b: int):
         # factory closes over b; F.aggregate's merge lambda must be
@@ -152,6 +304,14 @@ def simhash16(text: Column) -> Column:
     for b in bits[1:]:
         out = out + b
     return out.cast("int")
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash straight off a text column (one-off/test use —
+    hot paths go through token_hash_pipeline + simhash16_from_hashes)."""
+    return simhash16_from_hashes(
+        F.transform(ws_tokens(normalized_text(text)), lambda t: portable_hash64(t))
+    )
 
 
 def hamming16(a: Column, b: Column) -> Column:

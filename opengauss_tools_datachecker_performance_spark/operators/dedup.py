@@ -29,10 +29,12 @@ from opengauss_tools_datachecker_performance_spark.functions.hashing import (
     portable_hash64,
 )
 from opengauss_tools_datachecker_performance_spark.functions.text import (
+    MINHASH_AB,
     fingerprint,
-    minhash_signature,
-    shingle_hashes,
-    simhash16,
+    minhash_affine,
+    shingle_rows,
+    simhash16_from_hashes,
+    token_hash_pipeline,
 )
 
 
@@ -68,9 +70,21 @@ def minhash_band_buckets(
     the portable hash of the band's signature slice, so two docs land
     in the same (band, band_key) iff that slice matches exactly."""
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).cast("string").alias("doc_id"),
-        minhash_signature(F.col(text_col), shingle_k, num_hashes).alias("sig"),
+    # explode-first: shingle hashes as flat rows (codegen build, no
+    # interpreted lambdas — functions.text.shingle_rows), then the
+    # signature is num_hashes MIN aggregates of affine transforms, all
+    # inside one partial-aggregated groupBy. Measured on the full
+    # near-dup pipeline at sf0.1: 160 s (seeded-md5 array transforms)
+    # → 19.6 s (affine over materialized arrays) → ~7 s (this form).
+    rows = shingle_rows(df, id_col, text_col, shingle_k, distinct=False)
+    sig = rows.groupBy("doc_id").agg(
+        *[
+            F.min(minhash_affine(F.col("sh"), a, b)).alias(f"_m{i}")
+            for i, (a, b) in enumerate(MINHASH_AB[:num_hashes])
+        ]
+    ).select(
+        "doc_id",
+        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig"),
     )
     band_entries = F.array(
         *[
@@ -118,21 +132,50 @@ def exact_jaccard(
     df: DataFrame, id_col: str, text_col: str, pairs: DataFrame, shingle_k: int = 3
 ) -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard:
-    → (id_a, id_b, jaccard)."""
-    sh = df.select(
-        F.col(id_col).cast("string").alias("doc_id"),
-        shingle_hashes(F.col(text_col), shingle_k).alias("sh"),
+    → (id_a, id_b, jaccard), one row per input pair.
+
+    Count-based formulation over the flat shingle-row index (no array
+    materialization): |A∩B| = matched (doc, shingle) rows between the
+    two sides, |A∪B| = |A| + |B| - |A∩B|. Everything is joins +
+    codegen'd aggregates; candidate pairs are small (post-LSH), so
+    they broadcast into the row index."""
+    # verification only ever touches docs that appear in a candidate
+    # pair — semi-join the shingle index down to those docs FIRST and
+    # persist the (tiny) remainder, so the full-corpus shingle build
+    # runs exactly once no matter how many joins read it below
+    ids = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc_id")
+    ).distinct()
+    rows = (
+        shingle_rows(df, id_col, text_col, shingle_k, distinct=True)
+        .join(F.broadcast(ids), "doc_id", "left_semi")
+        .persist()
     )
-    j = (
-        pairs.join(sh.withColumnsRenamed({"doc_id": "id_a", "sh": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({"doc_id": "id_b", "sh": "sh_b"}), "id_b")
+    sizes = rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    bp = F.broadcast(pairs)
+    a_rows = bp.join(rows.withColumnRenamed("doc_id", "id_a"), "id_a")
+    shared = (
+        a_rows.alias("l")
+        .join(
+            rows.withColumnRenamed("doc_id", "id_b").alias("r"),
+            ["id_b", "sh"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return j.select(
+    # NOTE: sizes has one row per doc — never broadcast it; the pair
+    # side is the small one, so Catalyst/AQE broadcasts that instead
+    out = (
+        pairs.join(shared, ["id_a", "id_b"], "left")
+        .join(sizes.withColumnsRenamed({"doc_id": "id_a", "n_sh": "na"}), "id_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "id_b", "n_sh": "nb"}), "id_b")
+        .withColumn("shared", F.coalesce("shared", F.lit(0)))
+    )
+    union = F.col("na") + F.col("nb") - F.col("shared")
+    return out.select(
         "id_a",
         "id_b",
-        F.when(union > 0, inter.cast("double") / union.cast("double"))
+        F.when(union > 0, F.col("shared").cast("double") / union.cast("double"))
         .otherwise(F.lit(0.0))
         .alias("jaccard"),
     )
@@ -148,18 +191,25 @@ def minhash_near_duplicates(
     bands: int = 4,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection:
-    → (id_a, id_b, jaccard) for verified pairs ≥ threshold."""
-    buckets = minhash_band_buckets(df, id_col, text_col, shingle_k, num_hashes, bands)
-    cands = lsh_candidate_pairs(buckets)
+    → (id_a, id_b, jaccard) for verified pairs ≥ threshold.
+
+    The bucket frame feeds a self-join (both sides) and the candidate
+    frame is referenced three times by the verification joins — both
+    are thin (4 longs/doc; a few rows per near-dup pair), so they
+    persist rather than re-running the signature subtree per consumer
+    (same cache-the-digests discipline as plans/runner.py)."""
+    buckets = minhash_band_buckets(
+        df, id_col, text_col, shingle_k, num_hashes, bands
+    ).persist()
+    cands = lsh_candidate_pairs(buckets).persist()
     verified = exact_jaccard(df, id_col, text_col, cands, shingle_k)
     return verified.filter(F.col("jaccard") >= threshold)
 
 
 def simhash_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """SimHash exact-bucket groups: → (simhash, n_docs, keep_id, all_ids)."""
-    s = df.select(
-        F.col(id_col).cast("string").alias("doc_id"),
-        simhash16(F.col(text_col)).alias("simhash"),
+    s = token_hash_pipeline(df, id_col, text_col).select(
+        "doc_id", simhash16_from_hashes(F.col("th")).alias("simhash")
     )
     return (
         s.groupBy("simhash")
@@ -186,10 +236,7 @@ def ngram_jaccard_pairs(
     |A|+|B|-shared.  Exact for every pair sharing ≥1 surviving shingle;
     pairs sharing only stop-shingles are below any useful threshold
     anyway.  This is the exact-verification counterpart to MinHash."""
-    sh = df.select(
-        F.col(id_col).cast("string").alias("doc_id"),
-        F.explode(shingle_hashes(F.col(text_col), shingle_k)).alias("sh"),
-    )
+    sh = shingle_rows(df, id_col, text_col, shingle_k, distinct=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     freq_ok = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f")).filter(
         F.col("f") <= max_shingle_freq
@@ -228,17 +275,24 @@ def embedding_near_duplicates(
     blocked self-join; use operators.similarity.lsh_ann for the
     bucketed scale path."""
     from opengauss_tools_datachecker_performance_spark.operators.similarity import (
-        cosine_sim,
+        dot,
+        norm,
     )
 
+    # per-row norms materialize before the O(n²) pair join — values
+    # bit-identical to per-pair norm() (same summation order), but the
+    # interpreted aggregate runs n times instead of n² times
     v = embeddings.select(
         F.col(id_col).cast("long").alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-    )
-    a = v.withColumnsRenamed({"vid": "id_a", "vec": "vec_a"})
-    b = v.withColumnsRenamed({"vid": "id_b", "vec": "vec_b"})
+    ).withColumn("nrm", norm(F.col("vec")))
+    a = v.withColumnsRenamed({"vid": "id_a", "vec": "vec_a", "nrm": "nrm_a"})
+    b = v.withColumnsRenamed({"vid": "id_b", "vec": "vec_b", "nrm": "nrm_b"})
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.select("id_a", "id_b", cosine_sim(F.col("vec_a"), F.col("vec_b")).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
-    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b"))).alias(
+            "cos_sim"
+        ),
+    ).filter(F.col("cos_sim") >= threshold)

@@ -52,20 +52,26 @@ def brute_force_topk(
     """→ (query_id, neighbor_id, rank): exact top-k cosine neighbors
     (self excluded). Ties broken by neighbor_id for determinism. The
     query side is broadcast — corpus never shuffles."""
+    # norms materialize once per ROW before the pair join — the values
+    # are bit-identical to per-pair norm() (same left-to-right sum, same
+    # sqrt) but interpreted-lambda work drops from O(|Q|·|C|) to
+    # O(|Q|+|C|); only the dot product remains per pair
     q = queries.select(
         F.col(id_col).cast("long").alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).cast("long").alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine_sim(F.col("qv"), F.col("cv")).alias("cos_sim"),
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+                "cos_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
