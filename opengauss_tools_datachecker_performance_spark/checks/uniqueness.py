@@ -40,7 +40,11 @@ def duplicate_keys(df: DataFrame, key: Column, hash_narrow: bool = True) -> Data
             .filter(F.col("n") > 1)
             .select("kh")
         )
-        keyed = hashed.join(F.broadcast(candidates), "kh", "left_semi").drop("kh")
+        # no forced broadcast: the candidate set is tiny at healthy dup
+        # rates (AQE broadcasts it then) but is unbounded under a
+        # pathological all-duplicates corpus — forcing it would OOM the
+        # driver in exactly the run that most needs the check
+        keyed = hashed.join(candidates, "kh", "left_semi").drop("kh")
     return (
         keyed.groupBy("key")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
@@ -59,7 +63,8 @@ def duplicate_keys_from_digests(digests: DataFrame) -> DataFrame:
         .filter(F.col("n") > 1)
         .select("k_hash")
     )
-    narrowed = digests.join(F.broadcast(candidates), "k_hash", "left_semi")
+    # same no-forced-broadcast reasoning as duplicate_keys above
+    narrowed = digests.join(candidates, "k_hash", "left_semi")
     aggs = [F.count(F.lit(1)).alias("n_occurrences")]
     if "part" in digests.columns:
         aggs.append(F.min("part").alias("part"))

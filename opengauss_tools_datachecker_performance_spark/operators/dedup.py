@@ -238,10 +238,13 @@ def ngram_jaccard_pairs(
     anyway.  This is the exact-verification counterpart to MinHash."""
     sh = shingle_rows(df, id_col, text_col, shingle_k, distinct=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    freq_ok = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f")).filter(
-        F.col("f") <= max_shingle_freq
+    # broadcast direction matters at scale: the SURVIVING shingle set is
+    # ~every distinct shingle in the corpus (unbroadcastable), while the
+    # stop-shingles (freq > cap) are few — broadcast those and anti-join
+    freq_bad = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f")).filter(
+        F.col("f") > max_shingle_freq
     )
-    sh2 = sh.join(F.broadcast(freq_ok.select("sh")), "sh", "left_semi")
+    sh2 = sh.join(F.broadcast(freq_bad.select("sh")), "sh", "left_anti")
     a = sh2.withColumnRenamed("doc_id", "id_a")
     b = sh2.withColumnRenamed("doc_id", "id_b")
     shared = (

@@ -322,8 +322,12 @@ def validate_docs(
             )
             span_loc = first_divergent_span(src_f, sink_f, None)
         else:
-            upd = F.broadcast(upd_kp.select("key"))
-            span_loc = first_divergent_span(docs_source, docs_sink, upd)
+            # above the IN-list cap the key set is too big to FORCE a
+            # broadcast (that's exactly the large case) — plain semi
+            # join; AQE still turns it into a broadcast when it fits
+            span_loc = first_divergent_span(
+                docs_source, docs_sink, upd_kp.select("key")
+            )
         diff_v = (
             diffs.join(span_loc, "key", "left")
             .select(
