@@ -194,7 +194,7 @@ def drift_by_tdigest(
     rows = profiles.collect()  # #groups rows — small by construction
     if not rows:
         return metrics.sparkSession.createDataFrame(
-            [], f"{group_col} int, drift_score double, drifted boolean"
+            [], f"{group_col} int, n bigint, drift_score double, drifted boolean"
         )
     per_group_q = {
         r[group_col]: [
@@ -213,7 +213,7 @@ def drift_by_tdigest(
         score = max(
             abs(a - b) / max(abs(b), 1.0) for a, b in zip(qs, global_q)
         ) if r["n"] else 0.0
-        out.append((r[group_col], float(score), bool(score > threshold)))
+        out.append((r[group_col], int(r["n"]), float(score), bool(score > threshold)))
     return metrics.sparkSession.createDataFrame(
-        out, f"{group_col} int, drift_score double, drifted boolean"
+        out, f"{group_col} int, n bigint, drift_score double, drifted boolean"
     )

@@ -162,7 +162,7 @@ def q_digest_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "digest_tree_rollup",
     f"""
     WITH b AS ({_BUCKET_SQL})
-    SELECT (bucket // 16)::INT AS node, SUM(n_rows) AS n_rows, bit_xor(sig) AS sig
+    SELECT (bucket // 16)::INT AS node, CAST(SUM(n_rows) AS BIGINT) AS n_rows, bit_xor(sig) AS sig
     FROM b GROUP BY 1
     """,
 )
@@ -235,7 +235,7 @@ def q_checkpoint_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "column_stats",
     """
     SELECT 'l_quantity' AS column_name, COUNT(*) AS n_rows,
-           SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            COUNT(DISTINCT l_quantity) AS n_distinct,
            CAST(MIN(l_quantity) AS VARCHAR) AS min_value,
            CAST(MAX(l_quantity) AS VARCHAR) AS max_value,
@@ -243,12 +243,12 @@ def q_checkpoint_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     UNION ALL
     SELECT 'l_returnflag', COUNT(*),
-           SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT l_returnflag), MIN(l_returnflag), MAX(l_returnflag), NULL
     FROM lineitem
     UNION ALL
     SELECT 'l_shipdate', COUNT(*),
-           SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT l_shipdate),
            CAST(MIN(l_shipdate) AS VARCHAR), CAST(MAX(l_shipdate) AS VARCHAR), NULL
     FROM lineitem
@@ -462,11 +462,11 @@ _SQL_STOPS = "['the','a','an','of','to','and','in','is','it','that','for','on','
       FROM t
     )
     SELECT doc_id,
-           CAST(round(stop_ratio, 6) AS DECIMAL(10,6)) AS stop_ratio,
+           CAST(CAST(round(stop_ratio, 6) AS DECIMAL(10,6)) AS VARCHAR) AS stop_ratio,
            CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'unknown' END AS lang,
-           CAST(round((least(n_tok / 100.0, 1.0)
+           CAST(CAST(round((least(n_tok / 100.0, 1.0)
                  + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END)
-                 + (1.0 - least(p_ratio * 4, 1.0))) / 3, 6) AS DECIMAL(10,6)) AS quality
+                 + (1.0 - least(p_ratio * 4, 1.0))) / 3, 6) AS DECIMAL(10,6)) AS VARCHAR) AS quality
     FROM m
     """,
 )
@@ -482,9 +482,12 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.round(stopword_ratio(F.col("text")), 6).cast("decimal(10,6)").alias("stop_ratio"),
+        F.round(stopword_ratio(F.col("text")), 6)
+        .cast("decimal(10,6)")
+        .cast("string")
+        .alias("stop_ratio"),
         lang_id(F.col("text")).alias("lang"),
-        quality_score(F.col("text")).cast("decimal(10,6)").alias("quality"),
+        quality_score(F.col("text")).cast("decimal(10,6)").cast("string").alias("quality"),
     )
 
 
@@ -613,8 +616,8 @@ def _sql_minhash_array() -> str:
       WHERE a.doc_id < c.doc_id
     )
     SELECT cand.id_a, cand.id_b,
-           CAST(round(len(list_intersect(sa.shset, sb.shset))::DOUBLE
-                 / len(list_distinct(list_concat(sa.shset, sb.shset))), 6) AS DECIMAL(10,6)) AS jaccard
+           CAST(CAST(round(len(list_intersect(sa.shset, sb.shset))::DOUBLE
+                 / len(list_distinct(list_concat(sa.shset, sb.shset))), 6) AS DECIMAL(10,6)) AS VARCHAR) AS jaccard
     FROM cand
     JOIN sig sa ON sa.doc_id = cand.id_a
     JOIN sig sb ON sb.doc_id = cand.id_b
@@ -625,7 +628,9 @@ def _sql_minhash_array() -> str:
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pipeline (operators.dedup): shingle →
     8-hash signature → 4 band buckets → candidate pairs → exact-Jaccard
-    verification ≥ 0.3, over documents with planted near-duplicates."""
+    verification ≥ 0.3, over documents with planted near-duplicates.
+    jaccard is rendered as a scale-6 decimal string so value hashing is
+    representation-stable across both engines."""
     from opengauss_tools_datachecker_performance_spark.operators.dedup import (
         minhash_near_duplicates,
     )
@@ -644,7 +649,9 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.unionByName(near), "doc_id", "text", threshold=0.3
     )
     return out.select(
-        "id_a", "id_b", F.round("jaccard", 6).cast("decimal(10,6)").alias("jaccard")
+        "id_a",
+        "id_b",
+        F.round("jaccard", 6).cast("decimal(10,6)").cast("string").alias("jaccard"),
     )
 
 
@@ -676,7 +683,7 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
-           CAST(round(shared::DOUBLE / (len(sa.shset) + len(sb.shset) - shared), 6) AS DECIMAL(10,6)) AS jaccard
+           CAST(CAST(round(shared::DOUBLE / (len(sa.shset) + len(sb.shset) - shared), 6) AS DECIMAL(10,6)) AS VARCHAR) AS jaccard
     FROM shared
     JOIN sh sa ON sa.doc_id = id_a
     JOIN sh sb ON sb.doc_id = id_b
@@ -703,7 +710,9 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ngram_jaccard_pairs(d.unionByName(near), "doc_id", "text", threshold=0.3)
     return out.select(
-        "id_a", "id_b", F.round("jaccard", 6).cast("decimal(10,6)").alias("jaccard")
+        "id_a",
+        "id_b",
+        F.round("jaccard", 6).cast("decimal(10,6)").cast("string").alias("jaccard"),
     )
 
 
@@ -787,11 +796,11 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT source,
-           CAST(round(q2, 4) AS DECIMAL(14,4)) AS median_chars,
-           CAST(round(greatest(
+           CAST(CAST(round(q2, 4) AS DECIMAL(14,4)) AS VARCHAR) AS median_chars,
+           CAST(CAST(round(greatest(
              abs(q1 - g1) / greatest(abs(g1), 1.0),
              abs(q2 - g2) / greatest(abs(g2), 1.0),
-             abs(q3 - g3) / greatest(abs(g3), 1.0)), 6) AS DECIMAL(12,6)) AS drift_stat
+             abs(q3 - g3) / greatest(abs(g3), 1.0)), 6) AS DECIMAL(12,6)) AS VARCHAR) AS drift_stat
     FROM g, o
     """,
 )
@@ -818,8 +827,8 @@ def q_drift_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.select(
         "source",
-        F.round("q2", 4).cast("decimal(14,4)").alias("median_chars"),
-        F.round(gap, 6).cast("decimal(12,6)").alias("drift_stat"),
+        F.round("q2", 4).cast("decimal(14,4)").cast("string").alias("median_chars"),
+        F.round(gap, 6).cast("decimal(12,6)").cast("string").alias("drift_stat"),
     )
 
 

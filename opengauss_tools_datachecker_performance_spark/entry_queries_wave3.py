@@ -357,7 +357,7 @@ def _asset_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT media_ref, mime, n_bytes,
            (16 + b0 % 64)::INT AS width, (16 + blast % 64)::INT AS height,
-           CAST(round(s64 / 64.0 / 255.0, 6) AS DECIMAL(10,6)) AS mean_luma
+           CAST(CAST(round(s64 / 64.0 / 255.0, 6) AS DECIMAL(10,6)) AS VARCHAR) AS mean_luma
     FROM d
     """,
 )
@@ -387,7 +387,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         "width",
         "height",
-        F.round("mean_luma", 6).cast("decimal(10,6)").alias("mean_luma"),
+        F.round("mean_luma", 6).cast("decimal(10,6)").cast("string").alias("mean_luma"),
     )
 
 
@@ -458,22 +458,54 @@ def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# A12 scale path: t-digest drift (rows-only check — sketch values are
-# approximate, so no value oracle; verdict correctness is pytest'd)
+# A12 scale path: t-digest drift. The sketch's quantiles are
+# approximate, so the oracle checks what IS exact: the per-partition
+# row count and the drift VERDICT. One partition (part 7) has its
+# metric planted 3x larger, so its score sits far above the 0.3
+# threshold while the others sit far below — sketch error (a few
+# percent on a quantile) cannot flip either side of the verdict.
 # ---------------------------------------------------------------------------
 
+_TDIGEST_PROBS_SQL = [0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95]
 
-@query("drift_tdigest")
+
+def _tdigest_oracle_sql() -> str:
+    qcols = ", ".join(
+        f"quantile_cont(metric, {p}) AS q{i}" for i, p in enumerate(_TDIGEST_PROBS_SQL)
+    )
+    gcols = ", ".join(f"median(q{i}) AS g{i}" for i in range(len(_TDIGEST_PROBS_SQL)))
+    gaps = ", ".join(
+        f"abs(q{i} - g{i}) / greatest(abs(g{i}), 1.0)"
+        for i in range(len(_TDIGEST_PROBS_SQL))
+    )
+    return f"""
+    WITH m AS (
+      SELECT (doc_id % 8)::INT AS part,
+             CASE WHEN doc_id % 8 = 7 THEN n_chars * 3.0 ELSE n_chars::DOUBLE END AS metric
+      FROM documents
+    ),
+    pq AS (SELECT part, COUNT(*) AS n, {qcols} FROM m GROUP BY part),
+    g AS (SELECT {gcols} FROM pq)
+    SELECT part, CAST(n AS BIGINT) AS n, greatest({gaps}) > 0.3 AS drifted
+    FROM pq, g
+    """
+
+
+@query("drift_tdigest", _tdigest_oracle_sql())
 def q_drift_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12 at scale: per-partition t-digest sketches via applyInPandas
     (checks.drift.tdigest_profiles), KS-style compare on the tiny
-    profile frame. Approximate by design → rows-only driver check."""
+    profile frame. Oracle-checked on the exact fields (n, drifted
+    verdict) with a planted 3x-drifted partition; the approximate raw
+    score stays internal."""
     from opengauss_tools_datachecker_performance_spark.checks.drift import (
         drift_by_tdigest,
     )
 
     d = _t(spark, sf_dir, "documents").select(
         F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("part"),
-        F.col("n_chars").cast("double").alias("metric"),
+        F.when(F.pmod(F.col("doc_id"), F.lit(8)) == 7, F.col("n_chars") * 3.0)
+        .otherwise(F.col("n_chars").cast("double"))
+        .alias("metric"),
     )
-    return drift_by_tdigest(d, threshold=0.3)
+    return drift_by_tdigest(d, threshold=0.3).select("part", "n", "drifted")

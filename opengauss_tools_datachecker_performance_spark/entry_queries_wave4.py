@@ -176,8 +176,8 @@ _THROUGHPUT_SQL = """
     )
     SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
            COUNT(*) AS n_events,
-           CAST(round(COUNT(*) / 3600.0, 6) AS DECIMAL(12,6)) AS events_per_sec,
-           CAST(round(SUM(value), 4) AS DECIMAL(18,4)) AS sum_value
+           CAST(CAST(round(COUNT(*) / 3600.0, 6) AS DECIMAL(12,6)) AS VARCHAR) AS events_per_sec,
+           CAST(CAST(round(SUM(value), 4) AS DECIMAL(18,4)) AS VARCHAR) AS sum_value
     FROM w GROUP BY ws
 """
 
@@ -195,8 +195,12 @@ def q_throughput_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.count(F.lit(1)) / 3600.0, 6)
             .cast("decimal(12,6)")
+            .cast("string")
             .alias("events_per_sec"),
-            F.round(F.sum("value"), 4).cast("decimal(18,4)").alias("sum_value"),
+            F.round(F.sum("value"), 4)
+            .cast("decimal(18,4)")
+            .cast("string")
+            .alias("sum_value"),
         )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),

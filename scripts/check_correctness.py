@@ -16,6 +16,12 @@ import sys
 
 sys.path.insert(0, ".")
 
+# --strict: no float rounding — full repr, matching the driver's exact
+# value hash. Default keeps the 9-dp tolerance for sketch-style checks.
+STRICT = "--strict" in sys.argv
+if STRICT:
+    sys.argv.remove("--strict")
+
 import duckdb
 
 import __spark_entry__ as entry_mod
@@ -33,7 +39,7 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "<nan>"
-        return repr(round(v, 9))
+        return repr(v) if STRICT else repr(round(v, 9))
     if isinstance(v, bool):
         return str(v).lower()
     return str(v)
