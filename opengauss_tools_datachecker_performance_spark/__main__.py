@@ -80,6 +80,18 @@ def build_parser() -> argparse.ArgumentParser:
 _DRIFT_CHUNK = 999_999_999
 
 
+def _has_chunk_subdirs(report_dir: str) -> bool:
+    """True if a previous (chunked) run left chunk= subdirs in this
+    report dir — the resumed run must keep appending to that layout."""
+    for frame in ("violations.parquet", "verdicts.parquet"):
+        base = os.path.join(report_dir, frame)
+        if os.path.isdir(base) and any(
+            e.startswith("chunk=") for e in os.listdir(base)
+        ):
+            return True
+    return False
+
+
 def _finalize_drift(spark: SparkSession, report_dir: str, threshold: float) -> None:
     """Chunked runs defer drift: each wave persisted its per-partition
     quantile profiles; judge drift ONCE over their union (run-global
@@ -130,9 +142,14 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     docs_sink = load_table(spark, args.sink) if args.sink else None
     assets = load_table(spark, args.assets) if args.assets else None
 
-    universe = sorted(
-        r[0] for r in docs_source.select(args.partition_col).distinct().collect()
-    )
+    # Partition universe = source ∪ sink: a partition wholesale-deleted
+    # from the source still exists in the sink and must surface its
+    # delete diffs — a source-only universe would silently skip it in
+    # chunked/resumed runs.
+    parts_df = docs_source.select(args.partition_col)
+    if docs_sink is not None:
+        parts_df = parts_df.unionByName(docs_sink.select(args.partition_col))
+    universe = sorted(r[0] for r in parts_df.distinct().collect())
     pending = universe
     if args.resume and args.checkpoint_dir:
         pending = pending_partitions(spark, args.checkpoint_dir, universe)
@@ -159,10 +176,30 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             return 0
 
     n = args.chunk_partitions
-    chunked = n > 0 and n < len(pending)
+    # Chunked mode is a property of the REPORT LAYOUT, not of how many
+    # waves remain: a resumed run whose pending set fits one wave must
+    # still write chunk=<id> subdirs (a base-dir overwrite would delete
+    # every previously-written wave) and must still defer drift to the
+    # run-global _finalize_drift rollup. Likewise, resuming into a
+    # report dir that already holds chunk= subdirs stays chunked even
+    # without --chunk-partitions.
+    chunked = n > 0 or (args.resume and _has_chunk_subdirs(args.report_dir))
+    if chunked and not args.resume:
+        # fresh chunked run into a dirty report dir: stale chunk=
+        # subdirs from a previous run with different wave boundaries
+        # would otherwise survive the per-chunk overwrites and
+        # duplicate rows in the merged report
+        import shutil
+
+        for frame in (
+            "violations.parquet",
+            "verdicts.parquet",
+            "drift_profiles.parquet",
+        ):
+            shutil.rmtree(os.path.join(args.report_dir, frame), ignore_errors=True)
     chunks = (
         [pending[i : i + n] for i in range(0, len(pending), n)]
-        if chunked
+        if chunked and n > 0
         else [pending]
     )
     schema_ok, schema_msg = True, ""

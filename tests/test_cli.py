@@ -88,6 +88,108 @@ def test_cli_chunked_waves_match_single_shot(spark, tmp_path):
     assert ver_one == ver_chk
 
 
+def test_cli_resume_final_wave_keeps_earlier_chunks(spark, tmp_path):
+    """A resumed chunked run whose pending set fits in ONE wave must
+    stay in chunked layout: the final wave may not overwrite the base
+    report dirs (deleting every earlier wave) and the run-global drift
+    rollup must still happen."""
+    import shutil
+
+    from opengauss_tools_datachecker_performance_spark.__main__ import _DRIFT_CHUNK
+    from opengauss_tools_datachecker_performance_spark.plans.lineage import (
+        partition_stats,
+        record_partitions,
+    )
+
+    corpus = _setup(spark, tmp_path)
+    args = [
+        "--source", f"{corpus}/docs_source.parquet",
+        "--sink", f"{corpus}/docs_sink.parquet",
+        "--assets", f"{corpus}/assets.parquet",
+    ]
+    r_one = str(tmp_path / "one")
+    main(args + ["--report-dir", r_one], spark=spark)
+    s_one = json.load(open(os.path.join(r_one, "summary.json")))
+
+    # complete chunked run, then rewind to "killed after wave 1":
+    # drop wave-2 frames + rollups, and a ledger that only has parts 0,1
+    report = str(tmp_path / "chunked")
+    main(args + ["--report-dir", report, "--chunk-partitions", "2"], spark=spark)
+    for sub in (
+        "violations.parquet/chunk=2",
+        "verdicts.parquet/chunk=2",
+        f"verdicts.parquet/chunk={_DRIFT_CHUNK}",
+        "drift_profiles.parquet/chunk=2",
+    ):
+        shutil.rmtree(os.path.join(report, sub), ignore_errors=True)
+    os.remove(os.path.join(report, "summary.json"))
+    ckpt = str(tmp_path / "ckpt_wave1")
+    src = spark.read.parquet(f"{corpus}/docs_source.parquet")
+    record_partitions(
+        spark, ckpt, "wave-1", partition_stats(src.filter("part < 2"))
+    )
+
+    # resume: pending = [2, 3] fits exactly one wave of 2
+    rc = main(
+        args + ["--report-dir", report, "--chunk-partitions", "2",
+                "--checkpoint-dir", ckpt, "--resume"],
+        spark=spark,
+    )
+    assert rc == 1
+    # wave-1 frames survived and the merged report equals the single shot
+    assert os.path.isdir(os.path.join(report, "violations.parquet", "chunk=0"))
+    assert os.path.isdir(
+        os.path.join(report, "verdicts.parquet", f"chunk={_DRIFT_CHUNK}")
+    )
+    s_chk = json.load(open(os.path.join(report, "summary.json")))
+    assert s_one["constraints"] == s_chk["constraints"]
+    parts = {
+        r[0]
+        for r in spark.read.parquet(f"{report}/verdicts.parquet")
+        .select("part").distinct().collect()
+    }
+    assert parts == {0, 1, 2, 3}
+
+
+def test_cli_sink_only_partition_is_validated(spark, tmp_path):
+    """A partition wholesale-deleted from the source (present only in
+    the sink) must still be validated in chunked mode — its docs are
+    all 'delete' diffs."""
+    corpus = _setup(spark, tmp_path)
+    src_cut = str(tmp_path / "src_cut.parquet")
+    spark.read.parquet(f"{corpus}/docs_source.parquet").filter(
+        "part <> 3"
+    ).write.parquet(src_cut)
+    report = str(tmp_path / "report_cut")
+    rc = main(
+        [
+            "--source", src_cut,
+            "--sink", f"{corpus}/docs_sink.parquet",
+            "--assets", f"{corpus}/assets.parquet",
+            "--report-dir", report,
+            "--chunk-partitions", "2",
+        ],
+        spark=spark,
+    )
+    assert rc == 1
+    v = spark.read.parquet(f"{report}/violations.parquet")
+    deletes3 = v.filter(
+        "part = 3 AND constraint = 'consistency' AND detail = 'delete'"
+    ).count()
+    sink3 = (
+        spark.read.parquet(f"{corpus}/docs_sink.parquet")
+        .filter("part = 3")
+        .count()
+    )
+    assert deletes3 == sink3
+    parts = {
+        r[0]
+        for r in spark.read.parquet(f"{report}/verdicts.parquet")
+        .select("part").distinct().collect()
+    }
+    assert 3 in parts
+
+
 def test_cli_kill_and_resume(tmp_path):
     """Real kill -9 mid-run: the resumed process must finish ONLY the
     pending waves and the merged report must equal a clean run's."""
