@@ -120,3 +120,27 @@ def test_batch_delete_dml(spark):
         r["sql"].startswith("DELETE FROM t WHERE doc_id IN ('") and r["sql"].endswith("');")
         for r in out
     )
+
+
+def test_embedding_near_dup_lsh_finds_planted_scaled_dups(spark):
+    """Bucketed-LSH near-dup must recover exactly-scaled duplicates
+    (projections keep their sign under scaling → guaranteed bucket
+    collision in every table) and must plan equi-joins only."""
+    import math
+
+    from opengauss_tools_datachecker_performance_spark.operators.dedup import (
+        embedding_near_duplicates,
+    )
+
+    dims = 64
+    base = [
+        (i, [math.sin(i * 37.0 + d) for d in range(dims)]) for i in range(40)
+    ]
+    scaled = [(i + 1000, [x * 1.001 for x in v]) for i, v in base if i % 5 == 0]
+    df = spark.createDataFrame(base + scaled, "vid long, emb array<double>")
+    out = embedding_near_duplicates(df, id_col="vid", vec_col="emb", threshold=0.99)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert {(i, i + 1000) for i, _ in base if i % 5 == 0} <= pairs
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -14,11 +14,23 @@ SF = "/root/testdata/sf0.001"
 #: documented Arrow-batched paths (multimodal decode, t-digest UDAF)
 ALLOW_ARROW = {"multimodal_features", "drift_tdigest", "frame_sample_plan"}
 
+#: documented BroadcastNestedLoopJoin users — bounded by construction:
+#: cosine_topk is the |Q|-broadcast exactness baseline (corpus never
+#: shuffles); ann_ivf broadcasts the n_cells≈16 centroid frame into the
+#: assignment pass; drift_quantile_profile cross-joins the ONE-row
+#: global-quantile aggregate into the per-group frame. Everything else
+#: must stay equi-join only.
+ALLOW_BNLJ = {"cosine_topk", "ann_ivf", "drift_quantile_profile"}
+
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_catalog_plan_is_clean(spark, name):
     plan = QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, name
+    if name not in ALLOW_BNLJ:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: non-equi join planned as BNLJ (O(n*m) at scale)"
+        )
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
     if name not in ALLOW_ARROW:
         for node in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
