@@ -518,12 +518,28 @@ def q_fingerprint_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_simhash_bits() -> str:
-    cases = " + ".join(
-        f"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> {b}) % 2 = 1)) > len(hs) THEN {1 << b} ELSE 0 END)"
-        for b in range(16)
+def _sql_simhash_band(band: int, band_bits: int = 15) -> str:
+    """DuckDB rendering of one 15-bit simhash band over a token-hash
+    list ``hs`` (majority vote per bit — identical to sign-of-sum)."""
+    return " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> {band * band_bits + j}) % 2 = 1)) > len(hs) THEN {1 << j} ELSE 0 END)"
+        for j in range(band_bits)
     )
-    return cases
+
+
+def _sql_simhash_sig() -> str:
+    """Full 60-bit signature: band b shifted into position (b0 low)."""
+    return " + ".join(
+        f"(({_sql_simhash_band(b)})::BIGINT << {b * 15})" for b in range(4)
+    )
+
+
+_SQL_SIMHASH_TOKENS = f"""
+    SELECT doc_id,
+           list_transform({{src}},
+                          x -> {_SQL_PHASH.format(x='x')}) AS hs
+    FROM {{tbl}}
+"""
 
 
 @query(
@@ -535,25 +551,83 @@ def _sql_simhash_bits() -> str:
                             x -> {_SQL_PHASH.format(x='x')}) AS hs
       FROM documents
     )
-    SELECT doc_id, CAST({_sql_simhash_bits()} AS INT) AS simhash FROM t
+    SELECT doc_id, CAST({_sql_simhash_sig()} AS BIGINT) AS simhash FROM t
     """,
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per doc (functions.text.simhash16_from_hashes)
-    with portable token hashes — bit-identical across engines. Token
-    hashes materialize in their own projection step (the 16 bit-vote
-    aggregates would otherwise re-evaluate the md5 transform each)."""
-    from opengauss_tools_datachecker_performance_spark.functions.text import (
-        simhash16_from_hashes,
-        token_hash_pipeline,
+    """60-bit SimHash per doc (operators.dedup.simhash_bands, 4×15-bit
+    bands over portable token hashes) — bit-identical across engines.
+    Explode-first Spark build: 60 codegen'd SUM votes in one groupBy,
+    no interpreted array lambdas."""
+    from opengauss_tools_datachecker_performance_spark.operators.dedup import (
+        simhash_bands,
+        simhash_signature,
     )
 
     d = _t(spark, sf_dir, "documents")
-    th = token_hash_pipeline(d, "doc_id", "text")
-    return th.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        simhash16_from_hashes(F.col("th")).alias("simhash"),
+    sig = simhash_signature(simhash_bands(d, "doc_id", "text"))
+    return sig.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "simhash"
     )
+
+
+@query(
+    "simhash_near_dup",
+    f"""
+    WITH docs2 AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+      UNION ALL
+      SELECT CAST(doc_id + 300000 AS VARCHAR),
+             text || ' tail marker token'
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    t AS (
+      SELECT doc_id,
+             list_transform({_SQL_WS_TOKS.format(t=_SQL_NORM.format(t='text'))},
+                            x -> {_SQL_PHASH.format(x='x')}) AS hs
+      FROM docs2
+    ),
+    bands AS (
+      SELECT doc_id,
+             {", ".join(f"CAST({_sql_simhash_band(b)} AS INT) AS b{b}" for b in range(4))}
+      FROM t
+    ),
+    cand AS (
+      {" UNION ".join(
+        f"SELECT a.doc_id AS id_a, c.doc_id AS id_b FROM bands a JOIN bands c ON a.b{b} = c.b{b} AND a.doc_id < c.doc_id"
+        for b in range(4)
+      )}
+    )
+    SELECT cand.id_a, cand.id_b,
+           CAST({" + ".join(f"bit_count(xor(x.b{b}::BIGINT, y.b{b}::BIGINT))" for b in range(4))} AS INT) AS hamming
+    FROM cand
+    JOIN bands x ON x.doc_id = cand.id_a
+    JOIN bands y ON y.doc_id = cand.id_b
+    WHERE {" + ".join(f"bit_count(xor(x.b{b}::BIGINT, y.b{b}::BIGINT))" for b in range(4))} <= 3
+    """,
+)
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via Hamming-band probing
+    (operators.dedup.simhash_near_duplicates): 4×15-bit band
+    equi-joins generate candidates (pigeonhole-exact for Hamming ≤ 3),
+    exact XOR-popcount verification. Planted near-dups: every
+    13th doc re-appears with a 3-token suffix — a Hamming-small
+    perturbation that 16-bit exact-bucket grouping misses."""
+    from opengauss_tools_datachecker_performance_spark.operators.dedup import (
+        simhash_near_duplicates,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    near = d.filter(F.col("doc_id").cast("long") % 13 == 0).select(
+        (F.col("doc_id").cast("long") + 300000).cast("string").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail marker token")).alias("text"),
+    )
+    out = simhash_near_duplicates(
+        d.unionByName(near), "doc_id", "text", max_hamming=3
+    )
+    return out.select("id_a", "id_b", "hamming")
 
 
 _SQL_SHINGLES = """

@@ -281,39 +281,6 @@ def minhash_signature(text: Column, k: int = 3, num_hashes: int = 8) -> Column:
     )
 
 
-def simhash16_from_hashes(hashes: Column) -> Column:
-    """16-bit SimHash over a MATERIALIZED token-hash array
-    (token_hash_pipeline): bit b of token-hash votes ±1; sign of the
-    sum sets bit b. The 16 aggregate passes each re-evaluate their
-    input expression, so ``hashes`` must be an attribute, not an
-    inline md5 transform (same discipline as shingle_pipeline)."""
-
-    def bit_vote(b: int):
-        # factory closes over b; F.aggregate's merge lambda must be
-        # exactly (acc, x)
-        def merge(acc, h):
-            return acc + F.when(F.shiftright(h, b) % 2 == 1, 1).otherwise(-1)
-
-        return F.aggregate(hashes, F.lit(0), merge)
-
-    bits = []
-    for b in range(16):
-        vote = bit_vote(b)
-        bits.append(F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("int")
-
-
-def simhash16(text: Column) -> Column:
-    """16-bit SimHash straight off a text column (one-off/test use —
-    hot paths go through token_hash_pipeline + simhash16_from_hashes)."""
-    return simhash16_from_hashes(
-        F.transform(ws_tokens(normalized_text(text)), lambda t: portable_hash64(t))
-    )
-
-
-def hamming16(a: Column, b: Column) -> Column:
-    """Hamming distance between two 16-bit simhashes (bit_count of XOR)."""
-    return F.bit_count(a.bitwiseXOR(b))
+# SimHash moved to operators/dedup.py (simhash_bands /
+# simhash_signature / simhash_near_duplicates): 60-bit over the
+# portable hash, explode-first codegen build, Hamming-band probing.

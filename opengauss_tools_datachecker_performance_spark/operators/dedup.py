@@ -9,8 +9,11 @@ Four families, all shuffle-disciplined for the 100 TB case:
   verification of candidates only.  The self-join key is a band
   bucket, so only near-duplicates ever meet; a frequency cap drops
   degenerate mega-buckets (boilerplate shingles).
-* **SimHash** — 16-bit simhash exact-bucket grouping (Hamming-0) plus
-  optional 1-bit-flip probing for Hamming-1 neighbors.
+* **SimHash** — 60-bit simhash (4×15-bit bands over the portable
+  hash): exact-bucket grouping for Hamming-0 groups, and Hamming-band
+  probing (pigeonhole: distance ≤ 3 ⇒ ≥ 1 band equal) emitting
+  verified near-dup PAIRS — no per-signature collect_list, so no
+  mega-group blow-up at corpus scale.
 * **embedding cosine** — near-dup pairs over an embedding column via
   hyperplane-LSH bucketed candidates (equi-joins only) + exact cosine
   re-score of candidates; shares its deterministic hyperplanes with
@@ -34,8 +37,6 @@ from opengauss_tools_datachecker_performance_spark.functions.text import (
     fingerprint,
     minhash_affine,
     shingle_rows,
-    simhash16_from_hashes,
-    token_hash_pipeline,
 )
 
 
@@ -207,11 +208,72 @@ def minhash_near_duplicates(
     return verified.filter(F.col("jaccard") >= threshold)
 
 
-def simhash_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """SimHash exact-bucket groups: → (simhash, n_docs, keep_id, all_ids)."""
-    s = token_hash_pipeline(df, id_col, text_col).select(
-        "doc_id", simhash16_from_hashes(F.col("th")).alias("simhash")
+#: 60-bit SimHash geometry: 4 bands × 15 bits (the portable md5 hash
+#: is 60-bit, so every bit carries signal). Pigeonhole: two signatures
+#: within Hamming distance ≤ bands-1 (=3) share at least one band.
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+
+
+def simhash_bands(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """→ (doc_id, b0..b3): 60-bit SimHash as four 15-bit band keys.
+
+    Explode-first formulation: tokens as flat rows, then the 60 bit
+    votes are 60 SUM aggregates inside ONE partial-aggregated groupBy
+    (whole-stage codegen; no interpreted array lambdas — the
+    shingle_rows discipline). A doc with no tokens keeps a row via
+    explode_outer and votes 0 everywhere → all-zero signature, same as
+    the array formulation."""
+    from opengauss_tools_datachecker_performance_spark.functions.text import (
+        normalized_text,
+        ws_tokens,
     )
+
+    toks = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        ws_tokens(normalized_text(F.col(text_col))).alias("_toks"),
+    )
+    rows = toks.select("doc_id", F.explode_outer("_toks").alias("_tok"))
+    th = portable_hash64(F.col("_tok"))
+    vote = lambda b: F.when(F.col("_tok").isNull(), F.lit(0)).otherwise(  # noqa: E731
+        F.when(F.shiftright(th, b) % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+    )
+    votes = rows.groupBy("doc_id").agg(
+        *[F.sum(vote(b)).alias(f"_v{b}") for b in range(SIMHASH_BITS)]
+    )
+    band_cols = []
+    for band in range(SIMHASH_BANDS):
+        bits = [
+            F.when(
+                F.col(f"_v{band * SIMHASH_BAND_BITS + j}") > 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+            for j in range(SIMHASH_BAND_BITS)
+        ]
+        expr = bits[0]
+        for x in bits[1:]:
+            expr = expr + x
+        band_cols.append(expr.cast("int").alias(f"b{band}"))
+    return votes.select("doc_id", *band_cols)
+
+
+def simhash_signature(bands_df: DataFrame) -> DataFrame:
+    """(doc_id, b0..b3) → (doc_id, simhash): the full 60-bit signature
+    as one non-negative bigint (b0 is the low band)."""
+    sig = F.lit(0).cast("long")
+    for band in range(SIMHASH_BANDS):
+        sig = sig + F.shiftleft(
+            F.col(f"b{band}").cast("long"), band * SIMHASH_BAND_BITS
+        )
+    return bands_df.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """SimHash exact-bucket (Hamming-0) groups over the 60-bit
+    signature: → (simhash, n_docs, keep_id, all_ids). For Hamming > 0
+    near-dups use :func:`simhash_near_duplicates` (pair output — no
+    mega-group collect at corpus scale)."""
+    s = simhash_signature(simhash_bands(df, id_col, text_col))
     return (
         s.groupBy("simhash")
         .agg(
@@ -221,6 +283,63 @@ def simhash_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataF
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """SimHash near-dup PAIRS via Hamming-band probing:
+    → (id_a, id_b, hamming), hamming ≤ ``max_hamming``.
+
+    Candidates = equi-join per band (two signatures within Hamming ≤ 3
+    must agree on ≥1 of the 4 bands — pigeonhole, so recall is exact
+    for max_hamming ≤ 3); verification = exact bit_count of the XOR
+    per band, summed. Pair output (never collect_list): at corpus
+    scale a popular signature region becomes a bounded join, not a
+    driver-sized array. ``max_bucket_size`` drops degenerate
+    mega-buckets (all-identical boilerplate) — surface the dropped
+    count as a coverage bound when used as a pipeline op."""
+    bands_df = simhash_bands(df, id_col, text_col).persist()
+    cand: DataFrame | None = None
+    for band in range(SIMHASH_BANDS):
+        bucketed = bands_df.select(
+            "doc_id", F.col(f"b{band}").alias("_key")
+        ).withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("_key"))
+        ).filter(F.col("_n") <= max_bucket_size)
+        a = bucketed.select(F.col("_key"), F.col("doc_id").alias("id_a"))
+        b = bucketed.select(F.col("_key"), F.col("doc_id").alias("id_b"))
+        pairs = (
+            a.join(b, "_key")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()
+    va = bands_df.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(SIMHASH_BANDS)],
+    )
+    vb = bands_df.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"b{i}").alias(f"c{i}") for i in range(SIMHASH_BANDS)],
+    )
+    hamming = F.lit(0)
+    for i in range(SIMHASH_BANDS):
+        hamming = hamming + F.bit_count(
+            F.col(f"a{i}").bitwiseXOR(F.col(f"c{i}"))
+        )
+    out = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return out
 
 
 def ngram_jaccard_pairs(

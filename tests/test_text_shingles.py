@@ -76,3 +76,71 @@ def test_minhash_rows_match_array_form(spark):
     same = sum(a == b for a, b in zip(sig_arr["1"], sig_arr["2"]))
     assert same >= 4
     assert not any(a == b for a, b in zip(sig_arr["1"], sig_arr["7"]))
+
+
+def test_simhash_band_probing_complete_for_hamming_3(spark):
+    """Pigeonhole property: the band-probing candidate generation must
+    find EVERY pair within Hamming distance 3 — including planted
+    near-dups at Hamming 1-3, which 16-bit (or any) exact-bucket
+    grouping misses by construction."""
+    from opengauss_tools_datachecker_performance_spark.operators.dedup import (
+        simhash_bands,
+        simhash_near_duplicates,
+    )
+
+    base_tokens = [f"tok{i}" for i in range(120)]
+    variants = {
+        "orig": base_tokens,
+        # one/two replaced tokens out of 120 → few bit votes move →
+        # small Hamming perturbations (exact distance asserted below)
+        "v1": ["zzz1"] + base_tokens[1:],
+        "v2": ["zzz1", "zzz2"] + base_tokens[2:],
+        "far": [f"other{i}" for i in range(120)],
+    }
+    df = spark.createDataFrame(
+        [(k, " ".join(v)) for k, v in variants.items()], "doc_id string, text string"
+    )
+    bands = {
+        r["doc_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in simhash_bands(df, "doc_id", "text").collect()
+    }
+
+    def hamming(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(bands[a], bands[b]))
+
+    ids = sorted(variants)
+    want = {
+        (a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+        if hamming(a, b) <= 3
+    }
+    # the plant must actually be a non-trivial near-dup: Hamming 1..3
+    # (deterministic md5 math — fails loudly if the fixture drifts)
+    assert 1 <= hamming("orig", "v1") <= 3
+    assert bands["orig"] != bands["v1"]  # exact-bucket grouping misses it
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_duplicates(df, "doc_id", "text").collect()
+    }
+    assert got == want
+    assert ("orig", "v1") in got
+
+
+def test_simhash_signature_composes_bands(spark):
+    from opengauss_tools_datachecker_performance_spark.operators.dedup import (
+        simhash_bands,
+        simhash_signature,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "the quick brown fox jumps over the lazy dog"), ("e", "")],
+        "doc_id string, text string",
+    )
+    bands_df = simhash_bands(df, "doc_id", "text")
+    rows = {r["doc_id"]: r for r in bands_df.collect()}
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signature(bands_df).collect()}
+    for d, r in rows.items():
+        expect = sum(r[f"b{i}"] << (i * 15) for i in range(4))
+        assert sigs[d] == expect
+        assert 0 <= sigs[d] < (1 << 60)
+    # empty doc → all-zero signature (votes all zero)
+    assert sigs["e"] == 0
