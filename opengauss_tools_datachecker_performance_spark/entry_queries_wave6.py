@@ -120,6 +120,118 @@ def q_debezium_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S5b: Debezium AVRO-encoded envelopes (union-wrapped JSON encoding,
+# DebeziumAvroHandler.java; fixture shape datachecker-extract/src/test/
+# resources/data/debezium_avro/one_record.json)
+# ---------------------------------------------------------------------------
+
+# Avro JSON encoding: unions render as {"<branch>": value}. The row
+# image is keyed by the record fullname "<server>.<db>.<table>.Value";
+# source.table and ts_ms are union-wrapped. Every 7th event is a
+# transaction marker (no op/table) that the decoder must drop.
+_DBZ_AVRO_EVENTS_SQL = """
+    SELECT CASE WHEN k % 7 = 4 THEN json_object('status', 'END', 'id', CAST(k AS VARCHAR))
+           ELSE json_object(
+             'before', CASE WHEN k % 5 IN (0, 1, 2)
+                            THEN json_object('srv.testdb.' || tbl || '.Value',
+                                             json_object('id', CAST(k AS VARCHAR))) END,
+             'after',  CASE WHEN k % 5 <> 0
+                            THEN json_object('srv.testdb.' || tbl || '.Value',
+                                             json_object('id', CAST(k AS VARCHAR))) END,
+             'source', json_object('db', 'testdb',
+                                   'table', json_object('string', tbl),
+                                   'ts_ms', k % 997),
+             'op', CASE WHEN k % 5 = 0 THEN 'd'
+                        WHEN k % 5 IN (1, 2) THEN 'u' ELSE 'c' END,
+             'ts_ms', json_object('long', k % 1000)
+           ) END AS value
+    FROM (
+      SELECT o_orderkey AS k, 'orders' AS tbl FROM orders WHERE o_orderkey % 11 = 3
+      UNION ALL
+      SELECT c_custkey AS k, 'customer' AS tbl FROM customer WHERE c_custkey % 13 = 5
+    )
+"""
+
+_DBZ_AVRO_KEY_SQL = """COALESCE(
+    json_extract_string(value, '$.after."srv.testdb.orders.Value".id'),
+    json_extract_string(value, '$.after."srv.testdb.customer.Value".id'),
+    json_extract_string(value, '$.before."srv.testdb.orders.Value".id'),
+    json_extract_string(value, '$.before."srv.testdb.customer.Value".id'))"""
+
+_DBZ_AVRO_SQL = f"""
+    WITH ev AS ({_DBZ_AVRO_EVENTS_SQL})
+    SELECT json_extract_string(value, '$.source.table.string') AS table_name,
+           json_extract_string(value, '$.op') AS op,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT {_DBZ_AVRO_KEY_SQL}) AS n_keys,
+           MIN(CAST({_DBZ_AVRO_KEY_SQL} AS BIGINT)) AS min_key,
+           MAX(CAST({_DBZ_AVRO_KEY_SQL} AS BIGINT)) AS max_key
+    FROM ev
+    WHERE json_extract_string(value, '$.op') IS NOT NULL
+      AND json_extract_string(value, '$.source.table.string') IS NOT NULL
+    GROUP BY 1, 2
+"""
+
+
+def _dbz_avro_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Avro-JSON-encoded envelope feed (union wrappers),
+    with transaction markers interleaved every 7th event."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 3).select(
+        F.col("o_orderkey").alias("k"), F.lit("orders").alias("tbl")
+    )
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 13 == 5).select(
+        F.col("c_custkey").alias("k"), F.lit("customer").alias("tbl")
+    )
+    ks = F.col("k").cast("string")
+    fullname = F.concat(F.lit("srv.testdb."), F.col("tbl"), F.lit(".Value"))
+    img = F.create_map(fullname, F.create_map(F.lit("id"), ks))
+    m5 = F.col("k") % 5
+    envelope = F.to_json(
+        F.struct(
+            F.when(m5.isin(0, 1, 2), img).alias("before"),
+            F.when(m5 != 0, img).alias("after"),
+            F.struct(
+                F.lit("testdb").alias("db"),
+                F.create_map(F.lit("string"), F.col("tbl")).alias("table"),
+                (F.col("k") % 997).cast("long").alias("ts_ms"),
+            ).alias("source"),
+            F.when(m5 == 0, "d").when(m5.isin(1, 2), "u").otherwise("c").alias("op"),
+            F.create_map(F.lit("long"), (F.col("k") % 1000).cast("long")).alias(
+                "ts_ms"
+            ),
+        )
+    )
+    txn = F.to_json(
+        F.struct(F.lit("END").alias("status"), ks.alias("id"))
+    )
+    return orders.unionByName(cust).select(
+        F.when(F.col("k") % 7 == 4, txn).otherwise(envelope).alias("value")
+    )
+
+
+@query("debezium_avro_decode", _DBZ_AVRO_SQL)
+def q_debezium_avro_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5b: decode AVRO-encoded CDC envelopes (union-wrapped JSON
+    encoding — DebeziumAvroHandler.java:70-115), dropping transaction
+    markers, consolidating per table/op. Full encode→decode round trip
+    on both engines."""
+    from opengauss_tools_datachecker_performance_spark.sources.debezium import (
+        decode_debezium_avro_json,
+    )
+
+    dec = decode_debezium_avro_json(
+        _dbz_avro_events(spark, sf_dir), payload_col="value"
+    )
+    key_l = F.col("key").cast("long")
+    return dec.groupBy("table_name", "op").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("key").alias("n_keys"),
+        F.min(key_l).alias("min_key"),
+        F.max(key_l).alias("max_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.9: slice status bitmask register
 # ---------------------------------------------------------------------------
 

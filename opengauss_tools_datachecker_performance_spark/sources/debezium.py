@@ -4,8 +4,9 @@ Reference: the extract service polls a Debezium topic and consolidates
 raw change events into per-table changed-PK logs (``SourceDataLog``)
 that drive the incremental check —
 datachecker-extract/.../debezium/DataConsolidationServiceImpl.java:1-247
-(string-JSON payloads; Avro variant DebeziumAvroHandler.java), output
-shape datachecker-common/.../entry/extract/SourceDataLog.java:33-62.
+(string-JSON payloads: DebeziumStringHandler; Avro payloads:
+DebeziumAvroHandler.java — both covered here), output shape
+datachecker-common/.../entry/extract/SourceDataLog.java:33-62.
 
 Spark-native shape: the event feed is any DataFrame (batch or
 streaming — ``readStream.format('kafka')`` in production, file/memory
@@ -52,6 +53,92 @@ def decode_debezium(
         )
         .filter(F.col("table_name").isNotNull() & F.col("key").isNotNull())
     )
+
+
+#: Avro JSON-encoding of the same envelope (DebeziumAvroHandler.java:
+#: 70-115; fixture shape datachecker-extract/src/test/resources/data/
+#: debezium_avro/one_record.json): Avro unions render as single-entry
+#: objects keyed by the branch type — ``after`` becomes
+#: {"<server>.<db>.<table>.Value": {..row..}}, ``source.table``
+#: becomes {"string": "t"}, ``ts_ms`` becomes {"long": 123}. Parsing
+#: the union wrappers as maps keeps ONE schema for every table.
+DEBEZIUM_AVRO_JSON_SCHEMA = (
+    "before map<string,map<string,string>>, "
+    "after map<string,map<string,string>>, "
+    "source struct<db:string,`table`:map<string,string>,ts_ms:long>, "
+    "op string, ts_ms map<string,bigint>"
+)
+
+
+def decode_debezium_avro_json(
+    events: DataFrame, payload_col: str = "value", pk_field: str = "id"
+) -> DataFrame:
+    """Avro JSON-encoded envelope → (table_name, op, key, ts_ms).
+
+    Mirrors DebeziumAvroHandler.handler: the row image is ``after``
+    falling back to ``before`` (deletes), the table comes from
+    ``source``, and messages without a table or an op (transaction
+    markers, DDL) are dropped — all as one JVM-side ``from_json`` +
+    map lookups; the union wrapper is unwrapped with ``map_values``
+    (a record union has exactly one branch present)."""
+    p = F.from_json(F.col(payload_col).cast("string"), DEBEZIUM_AVRO_JSON_SCHEMA)
+    row = F.coalesce(
+        F.element_at(F.map_values(p["after"]), 1),
+        F.element_at(F.map_values(p["before"]), 1),
+    )
+    return (
+        events.select(
+            p["source"]["table"]["string"].alias("table_name"),
+            p["op"].alias("op"),
+            row[pk_field].alias("key"),
+            p["ts_ms"]["long"].alias("ts_ms"),
+        )
+        .filter(
+            F.col("table_name").isNotNull()
+            & F.col("op").isNotNull()
+            & F.col("key").isNotNull()
+        )
+    )
+
+
+def decode_debezium_avro_binary(
+    events: DataFrame,
+    reader_schema_json: str,
+    payload_col: str = "value",
+    pk_field: str = "id",
+) -> DataFrame:
+    """Binary Avro payloads via spark-avro's ``from_avro``.
+
+    The spark-avro CONNECTOR jar (org.apache.spark:spark-avro_2.13) is
+    not bundled with the pip pyspark distribution — on a cluster,
+    submit with ``--packages org.apache.spark:spark-avro_2.13:<ver>``.
+    When the class is absent this raises NotImplementedError at plan
+    time (the JSON-encoded path above needs no extra jar)."""
+    try:
+        from pyspark.sql.avro.functions import from_avro
+
+        rec = from_avro(F.col(payload_col), reader_schema_json)
+        out = events.select(
+            rec["source"]["table"].alias("table_name"),
+            rec["op"].alias("op"),
+            F.coalesce(rec["after"][pk_field], rec["before"][pk_field])
+            .cast("string")
+            .alias("key"),
+            rec["ts_ms"].alias("ts_ms"),
+        )
+        # force analysis so a missing jar surfaces here, not at action
+        out.schema
+        return out.filter(
+            F.col("table_name").isNotNull() & F.col("key").isNotNull()
+        )
+    except NotImplementedError:
+        raise
+    except Exception as e:  # missing spark-avro class → actionable error
+        raise NotImplementedError(
+            "binary Avro decode needs the spark-avro connector on the "
+            "classpath (--packages org.apache.spark:spark-avro_2.13); "
+            f"underlying error: {type(e).__name__}: {e}"
+        ) from e
 
 
 def consolidate_changed_keys(decoded: DataFrame) -> DataFrame:

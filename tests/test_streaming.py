@@ -91,3 +91,63 @@ def test_streaming_end_to_end_file_source(corpus, spark, tmp_path):
     finally:
         q.stop()
     assert {k for k, _, _ in chk.confirmed} == set(bad)
+
+
+def test_debezium_avro_json_decode(spark):
+    """Avro JSON-encoded envelopes (union wrappers, record-fullname row
+    image keys — DebeziumAvroHandler.java fixture shape): creates read
+    after, deletes fall back to before, transaction markers and DDL
+    (no op/table) are dropped."""
+    from opengauss_tools_datachecker_performance_spark.sources.debezium import (
+        decode_debezium_avro_json,
+    )
+
+    create = (
+        '{"before":null,'
+        '"after":{"srv0.db1.widgets.Value":{"id":7,"k":11,"c":"x","pad":"y"}},'
+        '"source":{"version":"1.8.1.Final","connector":"mysql","name":"srv0",'
+        '"ts_ms":1000,"db":"db1","table":{"string":"widgets"}},'
+        '"op":"c","ts_ms":{"long":2000}}'
+    )
+    delete = (
+        '{"before":{"srv0.db1.widgets.Value":{"id":9}},"after":null,'
+        '"source":{"db":"db1","table":{"string":"widgets"}},'
+        '"op":"d","ts_ms":{"long":2500}}'
+    )
+    txn_marker = '{"status":"END","id":"tx-1","event_count":2}'
+    no_table = '{"op":"c","source":{"db":"db1"},"ts_ms":{"long":1}}'
+    df = spark.createDataFrame(
+        [(create,), (delete,), (txn_marker,), (no_table,)], "value string"
+    )
+    rows = {
+        (r["table_name"], r["op"], r["key"], r["ts_ms"])
+        for r in decode_debezium_avro_json(df).collect()
+    }
+    assert rows == {
+        ("widgets", "c", "7", 2000),
+        ("widgets", "d", "9", 2500),
+    }
+
+
+def test_debezium_avro_binary_gated(spark):
+    """Without the spark-avro connector jar the binary path must fail
+    fast with an actionable NotImplementedError (pip pyspark does not
+    bundle spark-avro_2.13)."""
+    import pytest
+
+    from opengauss_tools_datachecker_performance_spark.sources.debezium import (
+        decode_debezium_avro_binary,
+    )
+
+    schema = (
+        '{"type":"record","name":"Envelope","fields":['
+        '{"name":"op","type":["null","string"],"default":null}]}'
+    )
+    df = spark.createDataFrame([(bytearray(b"\x00"),)], "value binary")
+    try:
+        out = decode_debezium_avro_binary(df, schema)
+    except NotImplementedError as e:
+        assert "spark-avro" in str(e)
+    else:
+        # connector present (cluster deploy): the plan must analyze
+        assert set(out.columns) == {"table_name", "op", "key", "ts_ms"}
