@@ -149,76 +149,109 @@ def repair_dml_replace(
     return replaced.unionByName(base.filter(F.col("diff_type") == "delete"))
 
 
-def batch_delete_dml(
-    diff: DataFrame,
-    key_col: str,
-    table_name: str,
-    batch_size: int = 100,
-    key_type: "T.DataType | None" = None,
-) -> DataFrame:
-    """Single-PK batched deletes: ``DELETE FROM t WHERE pk IN (...)``
-    with ``batch_size`` keys per statement (the reference's
-    BatchDeleteDmlBuilder.java).  Batches form per shuffle partition
-    (``row_number`` within a hash-partitioned window), so no global
-    sort and no driver collect — at scale every executor renders its
-    own statements."""
-    from pyspark.sql.window import Window
+def _normalize_keys(
+    key_cols: "str | list[str]", key_types
+) -> "tuple[list[str], list[T.DataType]]":
+    cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if key_types is None:
+        types = [T.StringType()] * len(cols)
+    elif isinstance(key_types, T.DataType):
+        types = [key_types]
+    else:
+        types = list(key_types)
+    return cols, types
 
-    kt = key_type or T.StringType()
-    deletes = diff.filter(F.col("diff_type") == "delete").select("key")
-    w = Window.partitionBy(F.spark_partition_id()).orderBy("key")
-    batched = deletes.withColumn(
-        "_batch",
-        F.concat_ws(
-            "|",
-            F.spark_partition_id(),
-            F.floor((F.row_number().over(w) - 1) / batch_size),
-        ),
+
+def _key_in_literal(key_cols: list[str], key_types: list[T.DataType]) -> Column:
+    """Render one composite ``key`` string ('v1_#_v2', pk_key's join)
+    as its IN-list member: a bare/quoted literal for a single PK, a
+    row-value tuple ``(v1, v2)`` for composite PKs — the batched
+    multi-column equality predicate of the reference's
+    SelectDmlBuilder.java:108-137 / BatchDeleteDmlBuilder.java."""
+    parts = F.split(F.col("key"), "_#_")
+
+    def lit_at(i: int, dtype: T.DataType) -> Column:
+        v = F.element_at(parts, i + 1)
+        if isinstance(
+            dtype, (T.StringType, T.TimestampType, T.TimestampNTZType, T.DateType)
+        ):
+            return sql_literal(v, T.StringType())
+        return v
+
+    if len(key_cols) == 1:
+        return lit_at(0, key_types[0])
+    return F.concat(
+        F.lit("("),
+        F.concat_ws(", ", *[lit_at(i, t) for i, t in enumerate(key_types)]),
+        F.lit(")"),
     )
-    return (
-        batched.groupBy("_batch")
-        .agg(
-            F.concat_ws(
-                ", ", F.sort_array(F.collect_list(sql_literal(F.col("key"), kt)))
-            ).alias("_in"),
-            F.count(F.lit(1)).alias("n_keys"),
-        )
-        .select(
-            F.concat(
-                F.lit(f"DELETE FROM {table_name} WHERE {key_col} IN ("),
-                F.col("_in"),
-                F.lit(");"),
-            ).alias("sql"),
-            "n_keys",
-        )
-    )
+
+
+def _key_in_lhs(key_cols: list[str]) -> str:
+    """Left-hand side of the IN predicate: ``pk`` or ``(a, b)``."""
+    return key_cols[0] if len(key_cols) == 1 else f"({', '.join(key_cols)})"
 
 
 def _batched_key_lists(
-    keyed: DataFrame, batch_size: int, key_type: "T.DataType"
+    keyed: DataFrame, batch_size: int, member: Column
 ) -> DataFrame:
-    """(key) rows → (_in, n_keys): comma-joined SQL literal lists of at
-    most ``batch_size`` keys, batched per shuffle partition (no global
-    sort, no driver collect — same pattern as batch_delete_dml)."""
+    """(key) rows → (_in, n_keys): comma-joined IN-list members
+    (``member`` renders one key) of at most ``batch_size`` keys,
+    batched per shuffle partition (``row_number`` within a
+    hash-partitioned window) — no global sort, no driver collect; at
+    scale every executor renders its own statements."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(F.spark_partition_id()).orderBy("key")
+    # Pin the input partition id as a COLUMN before windowing:
+    # spark_partition_id() is evaluated where it appears, so using it
+    # both as the window key and in the post-window projection would
+    # read two DIFFERENT ids (pre- vs post-exchange) — distinct window
+    # groups that colocate after the exchange would then merge into one
+    # over-sized batch.
+    pinned = keyed.withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid").orderBy("key")
     return (
-        keyed.withColumn(
+        pinned.withColumn(
             "_batch",
             F.concat_ws(
                 "|",
-                F.spark_partition_id(),
+                F.col("_pid"),
                 F.floor((F.row_number().over(w) - 1) / batch_size),
             ),
         )
         .groupBy("_batch")
         .agg(
-            F.concat_ws(
-                ", ", F.sort_array(F.collect_list(sql_literal(F.col("key"), key_type)))
-            ).alias("_in"),
+            F.concat_ws(", ", F.sort_array(F.collect_list(member))).alias("_in"),
             F.count(F.lit(1)).alias("n_keys"),
         )
+    )
+
+
+def batch_delete_dml(
+    diff: DataFrame,
+    key_col: "str | list[str]",
+    table_name: str,
+    batch_size: int = 100,
+    key_type=None,
+) -> DataFrame:
+    """Batched deletes (the reference's BatchDeleteDmlBuilder.java):
+    ``DELETE FROM t WHERE pk IN (...)`` for a single PK, or the
+    row-value-tuple form ``DELETE FROM t WHERE (a, b) IN ((..), (..))``
+    for composite PKs (keys are pk_key's '_#_'-joined strings).
+    ``batch_size`` keys per statement; batches form per shuffle
+    partition — no global sort, no driver collect."""
+    key_cols, key_types = _normalize_keys(key_col, key_type)
+    deletes = diff.filter(F.col("diff_type") == "delete").select("key")
+    batched = _batched_key_lists(
+        deletes, batch_size, _key_in_literal(key_cols, key_types)
+    )
+    return batched.select(
+        F.concat(
+            F.lit(f"DELETE FROM {table_name} WHERE {_key_in_lhs(key_cols)} IN ("),
+            F.col("_in"),
+            F.lit(");"),
+        ).alias("sql"),
+        "n_keys",
     )
 
 
@@ -226,8 +259,9 @@ def doc_repair_statements(
     diff: DataFrame,
     source_table: str,
     sink_table: str,
-    key_col: str = "doc_id",
+    key_col: "str | list[str]" = "doc_id",
     batch_size: int = 100,
+    key_type=None,
 ) -> DataFrame:
     """Repair DML for the interleaved-doc table → (sql, n_keys, kind).
 
@@ -243,22 +277,24 @@ def doc_repair_statements(
 
     Statements render per shuffle partition (no driver collect); each
     touches ≤ batch_size keys so a repair executor never builds an
-    unbounded IN list.
+    unbounded IN list. Composite PKs (``key_col`` a list) render the
+    row-value-tuple IN form and a conjunctive MERGE ON clause.
     """
-    kt = T.StringType()
+    key_cols, key_types = _normalize_keys(key_col, key_type)
+    on_clause = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
     upserts = _batched_key_lists(
         diff.filter(F.col("diff_type").isin(["insert", "update"])).select("key"),
         batch_size,
-        kt,
+        _key_in_literal(key_cols, key_types),
     ).select(
         F.concat(
             F.lit(
                 f"MERGE INTO {sink_table} t USING (SELECT * FROM {source_table} "
-                f"WHERE {key_col} IN ("
+                f"WHERE {_key_in_lhs(key_cols)} IN ("
             ),
             F.col("_in"),
             F.lit(
-                f")) s ON t.{key_col} = s.{key_col} "
+                f")) s ON {on_clause} "
                 "WHEN MATCHED THEN UPDATE SET * "
                 "WHEN NOT MATCHED THEN INSERT *;"
             ),
@@ -266,7 +302,7 @@ def doc_repair_statements(
         "n_keys",
         F.lit("upsert").alias("kind"),
     )
-    deletes = batch_delete_dml(diff, key_col, sink_table, batch_size, kt).select(
-        "sql", "n_keys", F.lit("delete").alias("kind")
-    )
+    deletes = batch_delete_dml(
+        diff, key_cols, sink_table, batch_size, key_types
+    ).select("sql", "n_keys", F.lit("delete").alias("kind"))
     return upserts.unionByName(deletes)

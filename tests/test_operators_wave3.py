@@ -144,3 +144,55 @@ def test_embedding_near_dup_lsh_finds_planted_scaled_dups(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_batch_delete_dml_composite_pk(spark):
+    """Composite-PK batched deletes render the row-value-tuple IN form
+    (SelectDmlBuilder.java:108-137 batched multi-column predicates)."""
+    from opengauss_tools_datachecker_performance_spark.operators.repair import (
+        batch_delete_dml,
+    )
+    from pyspark.sql import types as T
+
+    diff = spark.createDataFrame(
+        [(f"{i}_#_n{i}", "delete") for i in range(5)],
+        "key string, diff_type string",
+    )
+    out = batch_delete_dml(
+        diff, ["a", "b"], "t", batch_size=3,
+        key_type=[T.LongType(), T.StringType()],
+    ).collect()
+    assert sum(r["n_keys"] for r in out) == 5
+    for r in out:
+        assert r["sql"].startswith("DELETE FROM t WHERE (a, b) IN ((")
+        assert r["n_keys"] <= 3
+    # numeric part bare, string part quoted
+    all_sql = " ".join(r["sql"] for r in out)
+    assert "(0, 'n0')" in all_sql and "(4, 'n4')" in all_sql
+
+
+def test_doc_repair_statements_composite_pk(spark):
+    from opengauss_tools_datachecker_performance_spark.operators.repair import (
+        doc_repair_statements,
+    )
+
+    diff = spark.createDataFrame(
+        [("1_#_x", "insert"), ("2_#_y", "update"), ("3_#_z", "delete")],
+        "key string, diff_type string",
+    )
+    rows = doc_repair_statements(
+        diff, "src", "snk", key_col=["k1", "k2"], batch_size=10
+    ).collect()
+    upserts = [r["sql"] for r in rows if r["kind"] == "upsert"]
+    deletes = [r["sql"] for r in rows if r["kind"] == "delete"]
+    # batches form per input partition, so tuple membership (not
+    # statement count) is the contract
+    up_all = " ".join(upserts)
+    assert upserts and all(
+        "MERGE INTO snk t USING (SELECT * FROM src WHERE (k1, k2) IN ((" in s
+        for s in upserts
+    )
+    assert "('1', 'x')" in up_all and "('2', 'y')" in up_all
+    assert all("ON t.k1 = s.k1 AND t.k2 = s.k2" in s for s in upserts)
+    assert len(deletes) == 1
+    assert deletes[0] == "DELETE FROM snk WHERE (k1, k2) IN (('3', 'z'));"
