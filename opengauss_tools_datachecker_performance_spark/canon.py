@@ -79,19 +79,48 @@ def canon_time(c: Column) -> Column:
 
 def canon_double_plain(c: Column) -> Column:
     """Double → string with scientific notation expanded, mirroring the
-    reference's BigDecimal.toPlainString expansion
+    reference's BigDecimal.toPlainString expansion at FULL precision
     (SimpleTypeHandlerFactory.java:262-358). Values whose Spark string
     form is already plain pass through unchanged; E-notation values are
-    re-rendered via a wide decimal cast with trailing zeros trimmed.
-    (Bit-compatibility with Java's toString is NOT the contract —
-    SURVEY.md §1.4 — only determinism + injectivity on distinct values.)
+    expanded by shifting the decimal point of the shortest-round-trip
+    mantissa with string ops — no bounded decimal cast, so 1e308 and
+    1e-320 expand exactly instead of overflowing to NULL (every
+    distinct double keeps a distinct string: the rewrite is a bijection
+    of Java's injective toString). (Bit-compatibility with Java's
+    toString is NOT the contract — SURVEY.md §1.4 — only determinism +
+    injectivity on distinct values.)
     """
     s = c.cast("double").cast("string")
-    expanded = F.regexp_replace(
-        c.cast("double").cast("decimal(38,18)").cast("string"),
-        r"\.?0+$",
+    # shortest-round-trip form is [-]d[.ddd]E[-]e  (one digit before the
+    # point, no trailing zeros in the fraction except the lone ".0")
+    mant = F.substring_index(s, "E", 1)
+    exp = F.substring_index(s, "E", -1).cast("int")
+    sign = F.when(mant.startswith("-"), F.lit("-")).otherwise(F.lit(""))
+    m = F.regexp_replace(mant, "^-", "")
+    ip = F.substring_index(m, ".", 1)
+    fp = F.when(m.contains("."), F.substring_index(m, ".", -1)).otherwise(F.lit(""))
+    digits = F.concat(ip, fp)
+    int_len = exp + F.lit(1)
+    # E ≥ 0: place the point after 1+E digits (pad zeros if shorter);
+    # digits never end in 0 on the fractional branch (only "d.0"
+    # mantissas do, and those always take the integer branch at E ≥ 7)
+    pos_frac = F.concat(
+        F.substr(digits, F.lit(1), int_len),
+        F.lit("."),
+        F.substr(digits, int_len + 1, F.length(digits)),
+    )
+    pos_plain = F.when(
+        F.length(digits) <= int_len,
+        F.concat(digits, F.repeat(F.lit("0"), int_len - F.length(digits))),
+    ).otherwise(pos_frac)
+    # E < 0: 0.<(-E-1) zeros><digits>; trim the trailing zero a "d.0"
+    # mantissa leaves (never trims to empty — digits lead with 1-9)
+    neg_plain = F.regexp_replace(
+        F.concat(F.lit("0."), F.repeat(F.lit("0"), -exp - F.lit(1)), digits),
+        "0+$",
         "",
     )
+    expanded = F.concat(sign, F.when(exp >= 0, pos_plain).otherwise(neg_plain))
     return F.when(s.contains("E"), expanded).otherwise(s)
 
 

@@ -121,3 +121,105 @@ def test_canonical_projection_keeps_names_and_stringifies(spark):
     assert all(f.dataType == T.StringType() for f in out.schema.fields)
     r = out.first()
     assert (r["a"], r["b"], r["d"], r["f"]) == ("1", "2.5", "2020-01-02", "true")
+
+
+# ---------------------------------------------------------------------------
+# Golden per-type matrix — mirrors the reference's per-type expect
+# fixtures (datachecker-extract/src/test/resources/mysql_opgs/expect/
+# t_{double,decimal,time,...}.json), extended with the magnitude edges
+# the fixtures don't reach.
+# ---------------------------------------------------------------------------
+
+
+def test_golden_timestamp_scales_0_to_6(spark):
+    """One golden per fractional scale 0..6 (DateTimeFormatterMap.java:
+    38-60 builds 'yyyy-MM-dd HH:mm:ss' + '.S'*scale)."""
+    ts = datetime.datetime(2022, 12, 16, 11, 4, 50, 4300)  # .004300
+    want = {
+        0: "2022-12-16 11:04:50",
+        1: "2022-12-16 11:04:50.0",
+        2: "2022-12-16 11:04:50.00",
+        3: "2022-12-16 11:04:50.004",
+        4: "2022-12-16 11:04:50.0043",
+        5: "2022-12-16 11:04:50.00430",
+        6: "2022-12-16 11:04:50.004300",  # t_time.json c_time golden shape
+    }
+    for scale, expect in want.items():
+        assert (
+            _one(spark, ts, T.TimestampType(), canon_timestamp, scale=scale)
+            == expect
+        ), scale
+
+
+def test_golden_double_magnitude_edges(spark):
+    """Full-precision plain expansion (SimpleTypeHandlerFactory.java:
+    262-358 BigDecimal.toPlainString): values beyond DECIMAL(38,18)
+    must NOT collapse to NULL, and sub-1e-18 values must stay distinct."""
+    cases = {
+        1.0e20: "100000000000000000000",
+        1.234e20: "123400000000000000000",
+        1.0e308: "1" + "0" * 308,
+        1.0e-30: "0." + "0" * 29 + "1",
+        -5.5e-10: "-0.00000000055",
+        # t_double.json golden shapes (plain values pass through)
+        1.0: "1.0",
+        -0.001: "-0.001",
+        9999.999: "9999.999",
+    }
+    vals = list(cases)
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {
+        r["x"]: r["c"]
+        for r in df.select(
+            "x", canon_double_plain(F.col("x")).alias("c")
+        ).collect()
+    }
+    for v, expect in cases.items():
+        assert got[v] == expect, v
+    # injectivity at the former collision magnitudes
+    tiny = [1.0e-30, 2.0e-30, 1.0e-19, 1.0e-20]
+    huge = [1.0e20, 1.0000000000000001e20, 1.0e21, 1.0e308]
+    df2 = spark.createDataFrame([(v,) for v in tiny + huge], "x double")
+    strs = [
+        r["c"]
+        for r in df2.select(canon_double_plain(F.col("x")).alias("c")).collect()
+    ]
+    assert len(set(strs)) == len(strs) and all(s is not None for s in strs)
+
+
+def test_golden_bit_n_and_binary_hex(spark):
+    """bit(n>1)/binary → upper hex without zero-padding loss
+    (HexUtil.java byteToHex: two chars per byte, upper case)."""
+    cases = {
+        b"\x00": "00",
+        b"\x05": "05",
+        b"\x00\xff": "00FF",
+        b"\x0a\x0b\x0c": "0A0B0C",
+    }
+    for raw, expect in cases.items():
+        assert (
+            _one(spark, bytearray(raw), T.BinaryType(), canon_binary) == expect
+        ), raw
+
+
+def test_golden_unsigned_and_decimal_scales(spark):
+    """Unsigned bigint edge + decimal scale retention (t_decimal.json
+    goldens keep the declared scale: 1.0001 @ (20,12) →
+    '1.000100000000')."""
+    assert (
+        _one(spark, decimal.Decimal(2**64 - 1), T.DecimalType(20, 0), canon_unsigned)
+        == "18446744073709551615"
+    )
+    assert (
+        _one(
+            spark,
+            decimal.Decimal("1.0001"),
+            T.DecimalType(20, 12),
+            canon_decimal,
+        )
+        == "1.000100000000"
+    )
+    assert (
+        _one(spark, decimal.Decimal("0"), T.DecimalType(10, 0), canon_decimal)
+        == "0"
+    )
