@@ -47,9 +47,21 @@ from opengauss_tools_datachecker_performance_spark.functions.hashing import (
 #: granularity, never correctness.
 DEFAULT_NUM_BUCKETS = 1 << 16
 
-#: record/unit separators for span-sequence canonical strings
+#: record/unit separators for span-sequence canonical strings. Fields
+#: are additionally LENGTH-PREFIXED (octet_length ':' bytes) so the
+#: render is injective for ANY byte content - a text/media_ref that
+#: itself contains these control bytes cannot forge a field or record
+#: boundary (the prefix pins where each field ends). Length framing is
+#: O(1) per field (byte length, no extra string scan), unlike escaping.
 _UNIT_SEP = ""
 _REC_SEP = ""
+
+
+def _framed(c: Column) -> Column:
+    """``<byte-len>:<bytes>`` framing of one canonical field; null →
+    '' first (HashHandler.java:58 null=='' digest quirk preserved)."""
+    s = F.coalesce(c, F.lit(""))
+    return F.concat(F.octet_length(s).cast("string"), F.lit(":"), s)
 
 
 def bucket_of(key_hash: Column, num_buckets: int = DEFAULT_NUM_BUCKETS) -> Column:
@@ -107,9 +119,9 @@ def render_sorted_spans(sorted_spans_col: Column) -> Column:
         sorted_spans_col,
         lambda s: F.concat_ws(
             _UNIT_SEP,
-            F.coalesce(s["kind"], F.lit("")),
-            F.coalesce(s["text"], F.lit("")),
-            F.coalesce(s["media_ref"], F.lit("")),
+            _framed(s["kind"]),
+            _framed(s["text"]),
+            _framed(s["media_ref"]),
         ),
     )
     return F.array_join(rendered, _REC_SEP)
@@ -160,9 +172,10 @@ def span_sequence_hash_col(spans_col: Column) -> Column:
     both a rolling per-span xxhash64 fold (one fewer interpreted
     higher-order pass) and, by ~6×, hashing the sorted struct array
     directly (Spark's recursive complex-type hash path is interpreted
-    per field). The separator-framed render has no field-boundary
-    collisions, and the same rendered string also powers the drift
-    metric (length) so the runner touches span text exactly once.
+    per field). The render is injective for any byte content — fields
+    are length-prefixed, so data containing the separator bytes cannot
+    forge a boundary — and the same rendered string also powers the
+    drift metric (length) so the runner touches span text exactly once.
 
     Null quirk preserved (HashHandler.java:58): null fields render as
     '' via COALESCE, so null and empty string collide *inside the

@@ -110,16 +110,41 @@ def minhash_band_buckets(
     )
 
 
+def coverage_counts(coverage: dict) -> dict:
+    """Materialize the drop-accounting frames registered by the dedup
+    operators into plain counts (one tiny action each) — pipeline runs
+    put these in their report so coverage caps are never silent."""
+    return {
+        k: df.count() for k, df in coverage.items() if k != "persisted"
+    }
+
+
+def release(coverage: dict) -> None:
+    """Unpersist every frame an operator cached for its own reuse —
+    call after the verified result is materialized (long-lived sessions
+    otherwise accumulate cached partitions until storage evicts)."""
+    for df in coverage.pop("persisted", []):
+        df.unpersist()
+
+
 def lsh_candidate_pairs(
-    buckets: DataFrame, max_bucket_size: int = 50
+    buckets: DataFrame,
+    max_bucket_size: int = 50,
+    coverage_out: dict | None = None,
 ) -> DataFrame:
     """Self-join per (band, band_key) → distinct candidate (id_a, id_b),
     id_a < id_b.  Buckets above ``max_bucket_size`` are dropped (at
     corpus scale those are boilerplate clusters that would quadratically
-    explode; the cap is logged by callers as a coverage bound)."""
+    explode); the dropped entries register in ``coverage_out`` as a
+    lazy frame — see :func:`coverage_counts`."""
     sized = buckets.withColumn(
         "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "band_key"))
-    ).filter(F.col("bucket_n") <= max_bucket_size)
+    )
+    if coverage_out is not None:
+        coverage_out["minhash_dropped_bucket_entries"] = sized.filter(
+            F.col("bucket_n") > max_bucket_size
+        )
+    sized = sized.filter(F.col("bucket_n") <= max_bucket_size)
     a = sized.select("band", "band_key", F.col("doc_id").alias("id_a"))
     b = sized.select("band", "band_key", F.col("doc_id").alias("id_b"))
     return (
@@ -131,7 +156,12 @@ def lsh_candidate_pairs(
 
 
 def exact_jaccard(
-    df: DataFrame, id_col: str, text_col: str, pairs: DataFrame, shingle_k: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pairs: DataFrame,
+    shingle_k: int = 3,
+    coverage_out: dict | None = None,
 ) -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard:
     → (id_a, id_b, jaccard), one row per input pair.
@@ -153,6 +183,8 @@ def exact_jaccard(
         .join(F.broadcast(ids), "doc_id", "left_semi")
         .persist()
     )
+    if coverage_out is not None:
+        coverage_out.setdefault("persisted", []).append(rows)
     sizes = rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     bp = F.broadcast(pairs)
     a_rows = bp.join(rows.withColumnRenamed("doc_id", "id_a"), "id_a")
@@ -191,6 +223,8 @@ def minhash_near_duplicates(
     shingle_k: int = 3,
     num_hashes: int = 8,
     bands: int = 4,
+    max_bucket_size: int = 50,
+    coverage_out: dict | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection:
     → (id_a, id_b, jaccard) for verified pairs ≥ threshold.
@@ -199,12 +233,18 @@ def minhash_near_duplicates(
     frame is referenced three times by the verification joins — both
     are thin (4 longs/doc; a few rows per near-dup pair), so they
     persist rather than re-running the signature subtree per consumer
-    (same cache-the-digests discipline as plans/runner.py)."""
+    (same cache-the-digests discipline as plans/runner.py). Pass
+    ``coverage_out`` (a dict) to receive the persisted handles for
+    :func:`release` after materialization plus the mega-bucket drop
+    accounting for :func:`coverage_counts` — pipeline runs surface
+    those counts in their report so the cap is never silent."""
     buckets = minhash_band_buckets(
         df, id_col, text_col, shingle_k, num_hashes, bands
     ).persist()
-    cands = lsh_candidate_pairs(buckets).persist()
-    verified = exact_jaccard(df, id_col, text_col, cands, shingle_k)
+    cands = lsh_candidate_pairs(buckets, max_bucket_size, coverage_out).persist()
+    if coverage_out is not None:
+        coverage_out.setdefault("persisted", []).extend([buckets, cands])
+    verified = exact_jaccard(df, id_col, text_col, cands, shingle_k, coverage_out)
     return verified.filter(F.col("jaccard") >= threshold)
 
 
@@ -291,6 +331,7 @@ def simhash_near_duplicates(
     text_col: str,
     max_hamming: int = 3,
     max_bucket_size: int = 1000,
+    coverage_out: dict | None = None,
 ) -> DataFrame:
     """SimHash near-dup PAIRS via Hamming-band probing:
     → (id_a, id_b, hamming), hamming ≤ ``max_hamming``.
@@ -301,16 +342,22 @@ def simhash_near_duplicates(
     per band, summed. Pair output (never collect_list): at corpus
     scale a popular signature region becomes a bounded join, not a
     driver-sized array. ``max_bucket_size`` drops degenerate
-    mega-buckets (all-identical boilerplate) — surface the dropped
-    count as a coverage bound when used as a pipeline op."""
+    mega-buckets (all-identical boilerplate); the dropped entries
+    register in ``coverage_out`` (see :func:`coverage_counts`), which
+    also receives the persisted band frame for :func:`release`."""
     bands_df = simhash_bands(df, id_col, text_col).persist()
+    if coverage_out is not None:
+        coverage_out.setdefault("persisted", []).append(bands_df)
+    dropped: DataFrame | None = None
     cand: DataFrame | None = None
     for band in range(SIMHASH_BANDS):
-        bucketed = bands_df.select(
+        sized = bands_df.select(
             "doc_id", F.col(f"b{band}").alias("_key")
-        ).withColumn(
-            "_n", F.count(F.lit(1)).over(Window.partitionBy("_key"))
-        ).filter(F.col("_n") <= max_bucket_size)
+        ).withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("_key")))
+        if coverage_out is not None:
+            over = sized.filter(F.col("_n") > max_bucket_size)
+            dropped = over if dropped is None else dropped.unionByName(over)
+        bucketed = sized.filter(F.col("_n") <= max_bucket_size)
         a = bucketed.select(F.col("_key"), F.col("doc_id").alias("id_a"))
         b = bucketed.select(F.col("_key"), F.col("doc_id").alias("id_b"))
         pairs = (
@@ -320,6 +367,8 @@ def simhash_near_duplicates(
         )
         cand = pairs if cand is None else cand.unionByName(pairs)
     cand = cand.distinct()
+    if coverage_out is not None and dropped is not None:
+        coverage_out["simhash_dropped_bucket_entries"] = dropped
     va = bands_df.select(
         F.col("doc_id").alias("id_a"),
         *[F.col(f"b{i}").alias(f"a{i}") for i in range(SIMHASH_BANDS)],
@@ -349,13 +398,16 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     shingle_k: int = 3,
     max_shingle_freq: int = 100,
+    coverage_out: dict | None = None,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via an inverted shingle index:
     explode shingles → self-join on shingle (stop-shingles above
     ``max_shingle_freq`` dropped) → shared-count per pair → Jaccard via
     |A|+|B|-shared.  Exact for every pair sharing ≥1 surviving shingle;
     pairs sharing only stop-shingles are below any useful threshold
-    anyway.  This is the exact-verification counterpart to MinHash."""
+    anyway.  This is the exact-verification counterpart to MinHash.
+    The dropped stop-shingles register in ``coverage_out``
+    (see :func:`coverage_counts`)."""
     sh = shingle_rows(df, id_col, text_col, shingle_k, distinct=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # broadcast direction matters at scale: the SURVIVING shingle set is
@@ -364,6 +416,8 @@ def ngram_jaccard_pairs(
     freq_bad = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f")).filter(
         F.col("f") > max_shingle_freq
     )
+    if coverage_out is not None:
+        coverage_out["ngram_dropped_stop_shingles"] = freq_bad
     sh2 = sh.join(F.broadcast(freq_bad.select("sh")), "sh", "left_anti")
     a = sh2.withColumnRenamed("doc_id", "id_a")
     b = sh2.withColumnRenamed("doc_id", "id_b")
@@ -397,6 +451,7 @@ def embedding_near_duplicates(
     n_planes: int = 8,
     n_tables: int = 4,
     max_bucket_size: int = 1000,
+    coverage_out: dict | None = None,
 ) -> DataFrame:
     """Cosine near-dup pairs → (id_a, id_b, cos_sim) via LSH-bucketed
     candidate generation + exact re-score.
@@ -425,13 +480,16 @@ def embedding_near_duplicates(
     ).withColumn("nrm", norm(F.col("vec")))
 
     cand: DataFrame | None = None
+    dropped: DataFrame | None = None
     for t in range(n_tables):
-        bucketed = v.select(
+        sized = v.select(
             "vid",
             hyperplane_signature(F.col("vec"), dims, n_planes, t).alias("bucket"),
-        ).withColumn(
-            "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
-        ).filter(F.col("bucket_n") <= max_bucket_size)
+        ).withColumn("bucket_n", F.count(F.lit(1)).over(Window.partitionBy("bucket")))
+        if coverage_out is not None:
+            over = sized.filter(F.col("bucket_n") > max_bucket_size)
+            dropped = over if dropped is None else dropped.unionByName(over)
+        bucketed = sized.filter(F.col("bucket_n") <= max_bucket_size)
         a = bucketed.select("bucket", F.col("vid").alias("id_a"))
         b = bucketed.select("bucket", F.col("vid").alias("id_b"))
         pairs = (
@@ -441,6 +499,8 @@ def embedding_near_duplicates(
         )
         cand = pairs if cand is None else cand.unionByName(pairs)
     cand = cand.distinct()
+    if coverage_out is not None and dropped is not None:
+        coverage_out["embedding_dropped_bucket_entries"] = dropped
 
     # exact re-score of candidates only; per-row norms were
     # materialized once above (bit-identical to per-pair norm())

@@ -61,11 +61,18 @@ def _read_frames(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFram
 
 
 def summarize_dir(
-    spark: SparkSession, out_dir: str, schema_ok: bool = True, schema_message: str = ""
+    spark: SparkSession,
+    out_dir: str,
+    schema_ok: bool = True,
+    schema_message: str = "",
+    coverage: dict | None = None,
 ) -> dict:
     """Build summary.json + success/failed logs from the written
     frames (covers every chunk written so far, including those from a
-    previous killed run)."""
+    previous killed run). ``coverage``: plain counts of anything an
+    operator DROPPED under a cap (mega-LSH-buckets, stop-shingles —
+    operators.dedup.coverage_counts); they land in the summary so a
+    bounded-coverage run is never silently read as exhaustive."""
     violations, verdicts = _read_frames(spark, out_dir)
     verdict_rows = verdicts.collect()  # grid: #parts × #constraints
     by_constraint: dict[str, dict] = {}
@@ -103,6 +110,8 @@ def summarize_dir(
         "constraints": by_constraint,
         "display_keys": display_keys,
     }
+    if coverage:
+        summary["coverage_bounds"] = dict(coverage)
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2, sort_keys=True)
     # success.log / failed.log analogues

@@ -97,10 +97,44 @@ def test_canonical_matches_python_oracle(spark):
         "doc_id", span_sequence_canonical_col(F.col("spans")).alias("c")
     )
     got = {r["doc_id"]: r["c"] for r in df.collect()}
+
+    def frame(v: str) -> str:
+        # length-prefixed field framing (digest._framed): byte length +
+        # ':' + bytes — injective even if v contains the separators
+        return f"{len(v.encode('utf-8'))}:{v}"
+
     for doc_id, spans in BASE:
         expect = "\x1e".join(
-            "\x1f".join(t) for t in canon_spans(
+            "\x1f".join(frame(f) for f in t)
+            for t in canon_spans(
                 [dict(kind=k, text=t, media_ref=m, offset=o) for (k, t, m, o) in spans]
             )
         )
         assert got[doc_id] == expect
+
+
+def test_render_injective_on_separator_bytes(spark):
+    """Span text containing the separator control bytes must NOT
+    collide with a differently-split span sequence — the length-prefix
+    framing pins every field boundary (a bare separator-joined render
+    hashed 'x\\x1f' + '' identically to 'x' + '\\x1f')."""
+    rows = [
+        ("d1", [("text", "x\x1f", "", 0)]),
+        ("d2", [("text", "x", "\x1f", 0)]),
+        ("d3", [("text", "a\x1eb", None, 0)]),
+        ("d4", [("text", "a", None, 0), ("text", "b", None, 2)]),
+    ]
+    df = spark.createDataFrame(
+        [
+            (d, [dict(kind=k, text=t, media_ref=m, offset=o) for k, t, m, o in s])
+            for d, s in rows
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    out = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", span_sequence_canonical_col(F.col("spans")).alias("c")
+        ).collect()
+    }
+    assert len(set(out.values())) == 4

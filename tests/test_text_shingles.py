@@ -144,3 +144,64 @@ def test_simhash_signature_composes_bands(spark):
         assert 0 <= sigs[d] < (1 << 60)
     # empty doc → all-zero signature (votes all zero)
     assert sigs["e"] == 0
+
+
+def test_dedup_coverage_accounting_and_release(spark, tmp_path):
+    """Caps are never silent: a tiny mega-bucket cap must surface its
+    dropped-entry count via coverage_counts, the counts must land in
+    the report summary's coverage_bounds, and release() must unpersist
+    every cached frame the operator registered."""
+    import json
+    import os
+
+    from opengauss_tools_datachecker_performance_spark.operators.dedup import (
+        coverage_counts,
+        minhash_near_duplicates,
+        ngram_jaccard_pairs,
+        release,
+    )
+
+    # 12 identical docs → every LSH band bucket holds 12 entries;
+    # cap 5 drops them all, and every shingle has freq 12 > cap 5
+    docs = spark.createDataFrame(
+        [(str(i), "the same boilerplate text repeated for every doc here") for i in range(12)],
+        "doc_id string, text string",
+    )
+    cov: dict = {}
+    out = minhash_near_duplicates(
+        docs, "doc_id", "text", threshold=0.3, max_bucket_size=5, coverage_out=cov
+    )
+    assert out.count() == 0  # all candidates died with the mega-buckets
+    counts = coverage_counts(cov)
+    assert counts["minhash_dropped_bucket_entries"] == 12 * 4  # 4 bands
+    cov2: dict = {}
+    ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.3, max_shingle_freq=5, coverage_out=cov2
+    ).count()
+    assert coverage_counts(cov2)["ngram_dropped_stop_shingles"] > 0
+
+    persisted = list(cov.get("persisted", []))
+    assert persisted
+    release(cov)
+    assert all(not df.is_cached for df in persisted)
+
+    # counts reach the report summary
+    from opengauss_tools_datachecker_performance_spark.plans.report import (
+        summarize_dir,
+    )
+
+    rd = str(tmp_path / "rep")
+    os.makedirs(rd, exist_ok=True)
+    spark.createDataFrame(
+        [], "part int, constraint string, key string, span_idx int, detail string"
+    ).write.parquet(os.path.join(rd, "violations.parquet"))
+    spark.createDataFrame(
+        [(0, "consistency", 0, "pass")],
+        "part int, constraint string, n_violations long, status string",
+    ).write.parquet(os.path.join(rd, "verdicts.parquet"))
+    s = summarize_dir(spark, rd, coverage=counts)
+    assert s["coverage_bounds"]["minhash_dropped_bucket_entries"] == 48
+    assert (
+        json.load(open(os.path.join(rd, "summary.json")))["coverage_bounds"]
+        == s["coverage_bounds"]
+    )
