@@ -121,6 +121,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         record_partitions,
     )
     from opengauss_tools_datachecker_performance_spark.plans.report import (
+        ProgressTracker,
         summarize_dir,
         write_frames,
     )
@@ -203,6 +204,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         else [pending]
     )
     schema_ok, schema_msg = True, ""
+    progress = ProgressTracker(args.report_dir, run_id)
     for ch in chunks:
         # fast path: a full single wave needs no partition filter
         only = None if (not chunked and set(ch) == set(universe)) else ch
@@ -242,6 +244,9 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         if not result.schema_ok:
             schema_ok, schema_msg = False, result.schema_message
             break
+        # liveness/rate line per wave (rows counted off the persisted
+        # digest cache — no extra scan)
+        progress.record(len(ch), result.extras["digests_source"].count())
         if args.checkpoint_dir:
             src = docs_source.filter(F.col(args.partition_col).isin(ch))
             record_partitions(

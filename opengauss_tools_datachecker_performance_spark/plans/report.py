@@ -124,6 +124,55 @@ def summarize_dir(
     return summary
 
 
+class ProgressTracker:
+    """During-run progress/rate emission — the reference prints a
+    sliding rows/s + running average to a progress log every 30 s
+    (datachecker-check/.../modules/report/ProgressService.java:73-175).
+    Here the natural tick is the WAVE (chunked runs) or the single
+    shot: after each one the driver appends a JSON line to
+    ``progress.log`` with cumulative rows, average rows/s since start,
+    and the sliding rate of the just-finished tick — O(1) driver work,
+    no extra cluster actions (callers pass counts they already have).
+    On a week-long 100 TB run this is the operator's liveness signal."""
+
+    def __init__(self, out_dir: str, run_id: str):
+        import time
+
+        self._path = os.path.join(out_dir, "progress.log")
+        self._run_id = run_id
+        self._t0 = time.monotonic()
+        self._last_t = self._t0
+        self._rows = 0
+        self._parts = 0
+
+    def record(self, n_parts: int, n_rows: int) -> dict:
+        import time
+
+        now = time.monotonic()
+        self._parts += n_parts
+        self._rows += n_rows
+        elapsed = max(now - self._t0, 1e-9)
+        tick = max(now - self._last_t, 1e-9)
+        rec = {
+            "run_id": self._run_id,
+            "elapsed_sec": round(elapsed, 3),
+            "parts_done": self._parts,
+            "rows_done": self._rows,
+            "avg_rows_per_sec": round(self._rows / elapsed, 1),
+            "tick_rows_per_sec": round(n_rows / tick, 1),
+        }
+        self._last_t = now
+        os.makedirs(os.path.dirname(self._path), exist_ok=True)
+        with open(self._path, "a") as f:
+            f.write(json.dumps(rec, sort_keys=True) + "\n")
+        print(
+            f"[progress] parts={rec['parts_done']} rows={rec['rows_done']} "
+            f"avg={rec['avg_rows_per_sec']}/s tick={rec['tick_rows_per_sec']}/s",
+            flush=True,
+        )
+        return rec
+
+
 def write_report(result: ValidationResult, out_dir: str) -> dict:
     """Single-wave convenience: write frames, then summarize them."""
     write_frames(result, out_dir)

@@ -314,3 +314,30 @@ def test_cli_emit_repair(spark, tmp_path):
     assert keys_of(deletes) == want_delete
     # upserts pull whole docs from the authoritative source side
     assert all("USING (SELECT * FROM " in s for s in merges)
+
+
+def test_cli_progress_log(spark, tmp_path):
+    """Every wave appends a rows/s progress line (ProgressService.java
+    analogue): cumulative counts monotone, rates present."""
+    corpus = _setup(spark, tmp_path)
+    report = str(tmp_path / "report_prog")
+    main(
+        [
+            "--source", f"{corpus}/docs_source.parquet",
+            "--sink", f"{corpus}/docs_sink.parquet",
+            "--assets", f"{corpus}/assets.parquet",
+            "--report-dir", report,
+            "--chunk-partitions", "2",
+        ],
+        spark=spark,
+    )
+    lines = [
+        json.loads(x)
+        for x in open(os.path.join(report, "progress.log")).read().splitlines()
+    ]
+    assert len(lines) == 2  # 4 partitions / waves of 2
+    assert lines[-1]["parts_done"] == 4
+    src_rows = spark.read.parquet(f"{corpus}/docs_source.parquet").count()
+    assert lines[-1]["rows_done"] == src_rows
+    assert all(l["avg_rows_per_sec"] > 0 and l["tick_rows_per_sec"] > 0 for l in lines)
+    assert lines[0]["rows_done"] < lines[1]["rows_done"]
