@@ -68,11 +68,13 @@ def span_rule_violations_from_digests(
     from the persisted digest frame (columns ``key``, ``part``,
     ``media_spans``, ``null_text_idxs``) — zero doc-body scans.
 
-    The dangling-ref set is tiny (violation-rate × refs): distinct refs
-    from the cache, left-anti against the asset catalog, broadcast back
-    over the exploded media spans.  At cluster scale the distinct is a
-    narrow shuffle of ref strings, the catalog side is a plain column
-    scan, and nothing re-reads span text.
+    The dangling-ref set is violation-sized in a healthy corpus, but
+    UNBOUNDED if the asset catalog is wholesale stale — so its join is
+    left to AQE, which broadcasts when the runtime size fits and falls
+    back to a shuffle join when it doesn't (same treatment as the
+    uniqueness candidates).  At cluster scale the distinct is a narrow
+    shuffle of ref strings, the catalog side is a plain column scan,
+    and nothing re-reads span text.
     """
     null_v = dig.select(
         "part",
@@ -100,7 +102,7 @@ def span_rule_violations_from_digests(
             F.col("m.span_idx").alias("span_idx"),
             F.col("m.media_ref").alias("media_ref"),
         )
-        .join(F.broadcast(bad_refs), "media_ref", "left_semi")
+        .join(bad_refs, "media_ref", "left_semi")
         .select(
             "part",
             F.lit("referential").alias("constraint"),
