@@ -82,17 +82,19 @@ def _enriched_digests(docs: DataFrame) -> DataFrame:
     universe and lineage all run off this one persisted frame without
     re-reading doc bodies.
 
-    The canonical rendered string is computed ONCE and feeds both the
-    digest (xxhash64) and the drift metric (length): a single
-    span-touching pass per doc instead of separate hash and text-length
-    aggregations. The length of the canonical render (text + kind +
-    media_ref chars) is monotone in text volume, which is exactly what
-    the distribution-drift check needs."""
+    The spans sort ONCE into a materialized attribute; the digest is
+    the per-span multi-arg xxhash64 fold (boundary-safe without
+    building a rendered string — digest.span_sequence_hash_from_hashes
+    has the measured numbers) and the drift metric is the byte volume
+    of the same sorted spans (monotone in text volume, which is
+    exactly what the distribution-drift check needs)."""
     from opengauss_tools_datachecker_performance_spark.digest import (
         _sorted_spans,
         media_spans_col,
         null_text_idxs_col,
-        render_sorted_spans,
+        span_hashes_from_sorted,
+        span_sequence_hash_from_hashes,
+        span_text_volume_from_sorted,
     )
 
     key = F.col("doc_id").cast("string")
@@ -107,10 +109,10 @@ def _enriched_digests(docs: DataFrame) -> DataFrame:
     ).select(
         "key",
         "k_hash",
-        F.xxhash64(render_sorted_spans(s)).alias("v_hash"),
+        span_sequence_hash_from_hashes(span_hashes_from_sorted(s)).alias("v_hash"),
         "bucket",
         "part",
-        F.length(render_sorted_spans(s)).cast("double").alias("text_len"),
+        span_text_volume_from_sorted(s).cast("double").alias("text_len"),
         # span-rule inputs ride the same scan (sorted-order indexes):
         # a handful of (idx, ref) pairs + an almost-always-empty int
         # array per doc — the cached frame stays body-free
