@@ -231,6 +231,70 @@ def q_debezium_avro_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# S5c: BINARY Avro envelopes — encode each change event to real Avro
+# wire bytes (zigzag varints, union branch indexes, block-coded maps;
+# functions.avro_codec), then decode through the engine surface.
+# The oracle states the ground truth directly off the base tables: the
+# encode∘decode round trip plus envelope semantics (marker drop,
+# before-fallback for deletes) must reproduce exactly the per-table/op
+# consolidation that never left SQL.
+_DBZ_AVRO_BIN_SQL = """
+    WITH ev AS (
+      SELECT k, tbl,
+             CASE WHEN k % 5 = 0 THEN 'd'
+                  WHEN k % 5 IN (1, 2) THEN 'u' ELSE 'c' END AS op
+      FROM (
+        SELECT o_orderkey AS k, 'orders' AS tbl FROM orders WHERE o_orderkey % 11 = 3
+        UNION ALL
+        SELECT c_custkey AS k, 'customer' AS tbl FROM customer WHERE c_custkey % 13 = 5
+      )
+      WHERE k % 7 <> 4
+    )
+    SELECT tbl AS table_name, op, COUNT(*) AS n_events,
+           COUNT(DISTINCT k) AS n_keys,
+           MIN(k) AS min_key, MAX(k) AS max_key
+    FROM ev GROUP BY 1, 2
+"""
+
+
+@query("debezium_avro_binary", _DBZ_AVRO_BIN_SQL)
+def q_debezium_avro_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5c: binary-Avro CDC envelopes end to end — deterministic event
+    rows → Avro wire bytes (encode_debezium_avro_binary) → binary
+    decode (decode_debezium_avro_binary, the self-contained codec path
+    since the sandbox has no spark-avro jar) → per-table/op
+    consolidation. Every 7th event is a transaction marker (no
+    table/key) the decoder must drop — DebeziumAvroHandler.java:80-99."""
+    from opengauss_tools_datachecker_performance_spark.sources.debezium import (
+        decode_debezium_avro_binary,
+        encode_debezium_avro_binary,
+    )
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 3).select(
+        F.col("o_orderkey").alias("k"), F.lit("orders").alias("tbl")
+    )
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 13 == 5).select(
+        F.col("c_custkey").alias("k"), F.lit("customer").alias("tbl")
+    )
+    m5 = F.col("k") % 5
+    marker = F.col("k") % 7 == 4
+    rows = orders.unionByName(cust).select(
+        F.when(~marker, F.col("tbl")).alias("table_name"),
+        F.when(~marker, F.when(m5 == 0, "d").when(m5.isin(1, 2), "u").otherwise("c"))
+        .alias("op"),
+        F.when(~marker, F.col("k").cast("string")).alias("key"),
+        (F.col("k") % 997).cast("long").alias("ts_ms"),
+    )
+    dec = decode_debezium_avro_binary(encode_debezium_avro_binary(rows))
+    key_l = F.col("key").cast("long")
+    return dec.groupBy("table_name", "op").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("key").alias("n_keys"),
+        F.min(key_l).alias("min_key"),
+        F.max(key_l).alias("max_key"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.9: slice status bitmask register
 # ---------------------------------------------------------------------------

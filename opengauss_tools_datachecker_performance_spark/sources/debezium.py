@@ -101,44 +101,153 @@ def decode_debezium_avro_json(
     )
 
 
+#: Binary-Avro envelope schema (parsed-JSON form for the pure-Python
+#: codec): the row image as map<string,string> — the reference's
+#: Map<String,String> row model (DebeziumDataBean.java; handler puts
+#: after-falling-back-to-before into it) — with union-wrapped
+#: nullables exactly like the fixture record
+#: (datachecker-extract/src/test/resources/data/debezium_avro/
+#: one_record.json: before/after/table/ts_ms are Avro unions).
+DEBEZIUM_AVRO_BINARY_SCHEMA: dict = {
+    "type": "record",
+    "name": "Envelope",
+    "fields": [
+        {"name": "before", "type": ["null", {"type": "map", "values": "string"}]},
+        {"name": "after", "type": ["null", {"type": "map", "values": "string"}]},
+        {
+            "name": "source",
+            "type": {
+                "type": "record",
+                "name": "Source",
+                "fields": [
+                    {"name": "db", "type": "string"},
+                    {"name": "table", "type": ["null", "string"]},
+                    {"name": "ts_ms", "type": "long"},
+                ],
+            },
+        },
+        {"name": "op", "type": ["null", "string"]},
+        {"name": "ts_ms", "type": ["null", "long"]},
+    ],
+}
+
+_DECODED_SCHEMA = "table_name string, op string, key string, ts_ms long"
+
+
 def decode_debezium_avro_binary(
     events: DataFrame,
-    reader_schema_json: str,
+    reader_schema_json: str | None = None,
     payload_col: str = "value",
     pk_field: str = "id",
+    avro_schema: dict | None = None,
 ) -> DataFrame:
-    """Binary Avro payloads via spark-avro's ``from_avro``.
+    """Binary Avro payloads → (table_name, op, key, ts_ms).
 
-    The spark-avro CONNECTOR jar (org.apache.spark:spark-avro_2.13) is
-    not bundled with the pip pyspark distribution — on a cluster,
-    submit with ``--packages org.apache.spark:spark-avro_2.13:<ver>``.
-    When the class is absent this raises NotImplementedError at plan
-    time (the JSON-encoded path above needs no extra jar)."""
-    try:
-        from pyspark.sql.avro.functions import from_avro
+    Two engines behind one surface:
 
-        rec = from_avro(F.col(payload_col), reader_schema_json)
-        out = events.select(
-            rec["source"]["table"].alias("table_name"),
-            rec["op"].alias("op"),
-            F.coalesce(rec["after"][pk_field], rec["before"][pk_field])
-            .cast("string")
-            .alias("key"),
-            rec["ts_ms"].alias("ts_ms"),
-        )
-        # force analysis so a missing jar surfaces here, not at action
-        out.schema
-        return out.filter(
-            F.col("table_name").isNotNull() & F.col("key").isNotNull()
-        )
-    except NotImplementedError:
-        raise
-    except Exception as e:  # missing spark-avro class → actionable error
-        raise NotImplementedError(
-            "binary Avro decode needs the spark-avro connector on the "
-            "classpath (--packages org.apache.spark:spark-avro_2.13); "
-            f"underlying error: {type(e).__name__}: {e}"
-        ) from e
+    * **spark-avro's ``from_avro``** (JVM, vectorized) when the
+      connector jar is on the classpath — on a cluster submit with
+      ``--packages org.apache.spark:spark-avro_2.13:<ver>`` and pass
+      ``reader_schema_json``. Always preferred.
+    * **pure-Python codec via mapInPandas** (functions.avro_codec)
+      otherwise — Arrow-batched, per-row decode in Python. This is the
+      one operator family where a Python hot loop is accepted: the pip
+      pyspark distro ships no spark-avro jar and CDC feeds are
+      incremental (bounded event batches), never the 100 TB scan path.
+
+    Semantics in both: row image = ``after`` falling back to ``before``
+    (deletes carry no after), table from ``source``, and messages
+    without a table or a key dropped — DebeziumAvroHandler.java:70-115.
+    """
+    if reader_schema_json is not None:
+        try:
+            from pyspark.sql.avro.functions import from_avro
+
+            rec = from_avro(F.col(payload_col), reader_schema_json)
+            out = events.select(
+                rec["source"]["table"].alias("table_name"),
+                rec["op"].alias("op"),
+                F.coalesce(rec["after"][pk_field], rec["before"][pk_field])
+                .cast("string")
+                .alias("key"),
+                rec["ts_ms"].alias("ts_ms"),
+            )
+            # force analysis so a missing jar surfaces here, not at action
+            out.schema
+            return out.filter(
+                F.col("table_name").isNotNull() & F.col("key").isNotNull()
+            )
+        except Exception:
+            pass  # fall through to the self-contained codec
+
+    schema = avro_schema or DEBEZIUM_AVRO_BINARY_SCHEMA
+    from opengauss_tools_datachecker_performance_spark.functions.avro_codec import (
+        decode,
+    )
+
+    def _decode_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            tables, ops, keys, tss = [], [], [], []
+            for blob in pdf[payload_col]:
+                if blob is None:
+                    continue
+                rec, _ = decode(schema, bytes(blob))
+                src = rec.get("source") or {}
+                table = src.get("table")
+                row = rec.get("after") or rec.get("before") or {}
+                key = row.get(pk_field)
+                if table is None or key is None:
+                    continue  # transaction marker / DDL / unkeyed
+                tables.append(table)
+                ops.append(rec.get("op"))
+                keys.append(key)
+                tss.append(rec.get("ts_ms"))
+            yield pd.DataFrame(
+                {"table_name": tables, "op": ops, "key": keys, "ts_ms": tss}
+            )
+
+    return events.select(payload_col).mapInPandas(_decode_batches, _DECODED_SCHEMA)
+
+
+def encode_debezium_avro_binary(
+    decoded_rows: DataFrame, avro_schema: dict | None = None
+) -> DataFrame:
+    """Inverse of the python decode path — (table_name, op, key, ts_ms)
+    rows → one binary Avro envelope per row in a ``value`` column.
+    Fixture/test helper (a real deployment reads Kafka-produced
+    payloads); deletes get a before-image only, everything else an
+    after-image, mirroring Debezium's op semantics."""
+    schema = avro_schema or DEBEZIUM_AVRO_BINARY_SCHEMA
+    from opengauss_tools_datachecker_performance_spark.functions.avro_codec import (
+        encode,
+    )
+
+    def _encode_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = []
+            for r in pdf.itertuples(index=False):
+                img = None if r.key is None else {"id": str(r.key)}
+                datum = {
+                    "before": img if r.op in ("d", "u") else None,
+                    "after": img if r.op != "d" else None,
+                    "source": {
+                        "db": "testdb",
+                        "table": r.table_name,
+                        "ts_ms": int(r.ts_ms or 0),
+                    },
+                    "op": r.op,
+                    "ts_ms": int(r.ts_ms) if r.ts_ms is not None else None,
+                }
+                out = bytearray()
+                encode(schema, datum, out)
+                blobs.append(bytes(out))
+            yield pd.DataFrame({"value": blobs})
+
+    return decoded_rows.mapInPandas(_encode_batches, "value binary")
 
 
 def consolidate_changed_keys(decoded: DataFrame) -> DataFrame:

@@ -11,8 +11,14 @@ from opengauss_tools_datachecker_performance_spark.entry_queries import QUERIES
 
 SF = "/root/testdata/sf0.001"
 
-#: documented Arrow-batched paths (multimodal decode, t-digest UDAF)
-ALLOW_ARROW = {"multimodal_features", "drift_tdigest", "frame_sample_plan"}
+#: documented Arrow-batched paths (multimodal decode, t-digest UDAF,
+#: binary-Avro codec — no spark-avro jar in the pip distro)
+ALLOW_ARROW = {
+    "multimodal_features",
+    "drift_tdigest",
+    "frame_sample_plan",
+    "debezium_avro_binary",
+}
 
 #: documented BroadcastNestedLoopJoin users — bounded by construction:
 #: cosine_topk is the |Q|-broadcast exactness baseline (corpus never
