@@ -117,6 +117,11 @@ def main() -> None:
     # operator benches over the driver testdata tables
     from opengauss_tools_datachecker_performance_spark.entry_queries import QUERIES
 
+    # same methodology as the flagship: first run is the cold one
+    # (Janino codegen + stage-scheduling warmup — one-time costs a
+    # long-running cluster job never re-pays) and is reported
+    # separately; the headline number is min of the warm reps.
+    queries_cold: dict[str, float] = {}
     for name in [
         "diff_full_outer",
         "digest_buckets",
@@ -129,9 +134,18 @@ def main() -> None:
         "cosine_topk",
         "token_count",
     ]:
-        t0 = time.monotonic()
-        QUERIES[name](spark, sf_dir).count()
-        queries[name] = round(time.monotonic() - t0, 3)
+        reps_t = []
+        for i in range(3):
+            t0 = time.monotonic()
+            QUERIES[name](spark, sf_dir).count()
+            reps_t.append(time.monotonic() - t0)
+            # operators that persist intermediates (minhash LSH buckets
+            # etc.) would otherwise accumulate cached partitions across
+            # reps — drop them so each rep is self-contained
+            spark.catalog.clearCache()
+        queries_cold[name] = round(reps_t[0], 3)
+        queries[name] = round(min(reps_t[1:]), 3)
+    extras["queries_cold_first_run"] = queries_cold
 
     total = round(sum(queries.values()), 3)
     print(

@@ -74,3 +74,75 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries_df, emb, k=_K, n_cells=_N_CELLS, nprobe=_NPROBE,
         quantize_scale=_QSCALE,
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-language marker-profile language ID (word-unigram n-gram
+# heuristic; functions.text.lang_id_profile). Planted suffixes flip
+# every 17th doc to de/fr/es so the argmax is exercised, not just the
+# 'en'/'unknown' split of the stopword-density heuristic.
+# ---------------------------------------------------------------------------
+
+def _lang_profile_sql() -> str:
+    from opengauss_tools_datachecker_performance_spark.functions.text import (
+        LANG_MARKERS,
+    )
+
+    markers = ", ".join(
+        f"('{lang}', '{w}', {i})"
+        for i, (lang, words) in enumerate(LANG_MARKERS.items())
+        for w in words
+    )
+    return f"""
+    WITH docs2 AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             CASE WHEN doc_id % 17 = 1 THEN text || ' der die und das ist nicht mit ein'
+                  WHEN doc_id % 17 = 2 THEN text || ' le la les et des est une dans'
+                  WHEN doc_id % 17 = 3 THEN text || ' el los las de que es una por'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                        x -> x <> '')) AS tok
+      FROM docs2
+    ),
+    markers(lang, tok, rnk) AS (VALUES {markers}),
+    hits AS (
+      SELECT doc_id, lang, rnk, COUNT(*) AS n_hits
+      FROM toks JOIN markers USING (tok) GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT doc_id, lang, n_hits,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY n_hits DESC, rnk ASC) AS rn
+      FROM hits
+    )
+    SELECT d.doc_id,
+           COALESCE(CASE WHEN b.n_hits >= 2 THEN b.lang END, 'unknown') AS lang,
+           CAST(COALESCE(CASE WHEN b.n_hits >= 2 THEN b.n_hits END, 0) AS BIGINT) AS n_hits
+    FROM (SELECT doc_id FROM docs2) d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+    """
+
+
+@query("lang_id_profile", _lang_profile_sql())
+def q_lang_id_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via marker-word profiles over 4 languages
+    (functions.text.lang_id_profile): explode → broadcast marker join
+    → argmax with deterministic tie-break, 'unknown' below 2 hits."""
+    from opengauss_tools_datachecker_performance_spark.functions.text import (
+        lang_id_profile,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    m17 = F.col("doc_id") % 17
+    docs2 = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.when(m17 == 1, F.concat(F.col("text"), F.lit(" der die und das ist nicht mit ein")))
+        .when(m17 == 2, F.concat(F.col("text"), F.lit(" le la les et des est une dans")))
+        .when(m17 == 3, F.concat(F.col("text"), F.lit(" el los las de que es una por")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return lang_id_profile(docs2, "doc_id", "text", min_hits=2)

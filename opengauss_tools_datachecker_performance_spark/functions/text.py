@@ -58,6 +58,72 @@ def lang_id(text: Column, threshold: float = 0.05) -> Column:
     )
 
 
+#: Marker-word profiles (top function words) for the multi-language
+#: n-gram (word-unigram) language-ID heuristic. Overlapping markers
+#: ("de" fr∩es, "in" en∩de, ...) are fine: each (lang, word) pair
+#: scores independently and the argmax decides. Order = tie-break
+#: priority (earlier wins at equal hit counts).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "nicht", "ist", "mit", "ein", "auf", "sich"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une", "dans", "que", "pour"],
+    "es": ["el", "los", "las", "de", "que", "es", "una", "por", "con", "para"],
+}
+
+
+def lang_marker_scores(df, id_col: str, text_col: str):
+    """→ (doc_id, lang, n_hits): marker-word hit counts per doc per
+    language, zero-hit languages absent.
+
+    Explode-first formulation (the shingle_rows discipline): lowercased
+    whitespace tokens as flat rows, equi-joined against the broadcast
+    (lang, word) marker table, counted in one partial-aggregated
+    groupBy — whole-stage codegen end to end, no per-row Python and no
+    interpreted array lambdas in the hot path. At corpus scale the
+    marker table is O(langs × markers) → always a broadcast."""
+    spark = df.sparkSession
+    markers = spark.createDataFrame(
+        [(lang, w) for lang, words in LANG_MARKERS.items() for w in words],
+        "lang string, _tok string",
+    )
+    toks = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("_tok"),
+    )
+    return (
+        toks.join(F.broadcast(markers), "_tok")
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def lang_id_profile(df, id_col: str, text_col: str, min_hits: int = 2):
+    """→ (doc_id, lang, n_hits): the argmax language per doc (ties →
+    LANG_MARKERS order), 'unknown' (n_hits 0) when the best language
+    has fewer than ``min_hits`` marker hits."""
+    from pyspark.sql.window import Window
+
+    rank = {lang: i for i, lang in enumerate(LANG_MARKERS)}
+    rank_col = F.coalesce(
+        *[F.when(F.col("lang") == lang, F.lit(i)) for lang, i in rank.items()]
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n_hits").desc(), rank_col.asc()
+    )
+    best = (
+        lang_marker_scores(df, id_col, text_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("n_hits") >= min_hits))
+        .drop("_rn")
+    )
+    all_docs = df.select(F.col(id_col).cast("string").alias("doc_id"))
+    return all_docs.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("lang", F.lit("unknown")).alias("lang"),
+        F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+    )
+
+
 def punct_ratio(text: Column) -> Column:
     n = F.length(text)
     punct = F.length(F.regexp_replace(text, "[A-Za-z0-9\\s]", ""))
