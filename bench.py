@@ -121,8 +121,9 @@ def main() -> None:
     # (Janino codegen + stage-scheduling warmup — one-time costs a
     # long-running cluster job never re-pays) and is reported
     # separately; the headline number is min of the warm reps.
-    queries_cold: dict[str, float] = {}
-    for name in [
+    # SPARK_GRAFT_BENCH_OPS=0 skips this block (the N-vs-4N scaling
+    # sweep only needs the flagship; see scripts/bench_scaling.py).
+    op_names = [
         "diff_full_outer",
         "digest_buckets",
         "uniqueness_check",
@@ -131,9 +132,21 @@ def main() -> None:
         # training-data-pipeline operators (documents/embeddings tables)
         "dedup_exact",
         "minhash_near_dup",
+        "ngram_jaccard_pairs",
+        "simhash_near_dup",
+        "embedding_near_dup",
         "cosine_topk",
+        "ann_lsh",
+        "ann_ivf",
         "token_count",
-    ]:
+        "text_quality",
+        "lang_id_profile",
+        "drift_quantile_profile",
+    ]
+    if os.environ.get("SPARK_GRAFT_BENCH_OPS", "1") == "0":
+        op_names = []
+    queries_cold: dict[str, float] = {}
+    for name in op_names:
         reps_t = []
         for i in range(3):
             t0 = time.monotonic()

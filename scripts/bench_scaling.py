@@ -44,6 +44,9 @@ def run_bench(cpus: int, n_docs: int) -> dict:
     # measures the data-parallel engine with AQE off; production
     # default stays ON (session.py).
     env.setdefault("SPARK_GRAFT_AQE", "false")
+    # scaling efficiency is judged on the flagship only — skip the
+    # per-operator benches so each subprocess is pure validate reps
+    env.setdefault("SPARK_GRAFT_BENCH_OPS", "0")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, env=env, cwd=REPO, timeout=7200,
