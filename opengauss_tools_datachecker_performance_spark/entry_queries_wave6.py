@@ -427,3 +427,38 @@ def q_miss_table_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").alias("table_name"), F.lit("source").alias("missing_at")
     )
     return miss_sink.unionByName(miss_src)
+
+
+# ---------------------------------------------------------------------------
+# §2.9 event-time windowed rate (watermark builder, batch twin)
+# ---------------------------------------------------------------------------
+
+_WINDOW_RATE_SQL = """
+    SELECT strftime(time_bucket(INTERVAL 30 MINUTE, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events,
+           CAST(CAST(round(COUNT(*) / 1800.0, 6) AS DECIMAL(12,6)) AS VARCHAR) AS events_per_sec,
+           CAST(CAST(round(SUM(value), 4) AS DECIMAL(18,4)) AS VARCHAR) AS sum_value
+    FROM events GROUP BY 1
+"""
+
+
+@query("watermark_window_rate", _WINDOW_RATE_SQL)
+def q_watermark_window_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 event-time windowed change rate
+    (streaming.windows.windowed_change_rate): tumbling 30-min windows,
+    count + events/sec + value rollup.  The SAME builder runs under
+    Structured Streaming with the watermark active (late-data drop +
+    bounded state + append-mode emit — tests/test_streaming.py); in
+    batch mode Spark ignores ``withWatermark`` so the oracle checks
+    the shared aggregation semantics."""
+    from opengauss_tools_datachecker_performance_spark.streaming.windows import (
+        windowed_change_rate,
+    )
+
+    return windowed_change_rate(
+        _t(spark, sf_dir, "events"),
+        time_col="ts",
+        window="30 minutes",
+        watermark="10 minutes",
+        value_col="value",
+    )

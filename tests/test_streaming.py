@@ -151,3 +151,69 @@ def test_debezium_avro_binary_gated(spark):
     else:
         # connector present (cluster deploy): the plan must analyze
         assert set(out.columns) == {"table_name", "op", "key", "ts_ms"}
+
+
+def test_watermark_window_rate_drops_late_and_survives_restart(spark, tmp_path):
+    """§2.9 watermark semantics end-to-end: append-mode windowed agg
+    over a file stream, two availableNow runs sharing a checkpoint.
+
+    Run 1 sees windows A(10:00) + C(13:00); nothing emits (watermark
+    trails by one batch) but the watermark (13:00 - 10min) persists to
+    the checkpoint. Run 2 replays a LATE event into A (10:15 < the
+    restored watermark -> dropped) plus a fresh on-time event; window A
+    finalizes and emits exactly once WITHOUT the late row.
+    """
+    import datetime as dt
+
+    from opengauss_tools_datachecker_performance_spark.streaming.windows import (
+        windowed_change_rate,
+    )
+
+    feed = str(tmp_path / "feed")
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "out")
+    d = dt.datetime
+    schema = "ts timestamp, value double"
+
+    def drop(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "10"
+        ).parquet(feed)
+        q = (
+            windowed_change_rate(
+                stream, time_col="ts", window="30 minutes",
+                watermark="10 minutes", value_col="value",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drop([
+        (d(2024, 1, 1, 10, 5), 1.0),
+        (d(2024, 1, 1, 10, 10), 2.0),
+        (d(2024, 1, 1, 13, 0), 4.0),
+    ])
+    run_once()
+    drop([
+        (d(2024, 1, 1, 10, 15), 100.0),  # late: watermark is 12:50
+        (d(2024, 1, 1, 13, 5), 8.0),     # on-time, window C stays open
+    ])
+    run_once()
+
+    got = {r["window_start"]: r for r in spark.read.parquet(out).collect()}
+    # window A emitted exactly once, late row excluded
+    assert set(got) == {"2024-01-01 10:00:00"}
+    a = got["2024-01-01 10:00:00"]
+    assert a["n_events"] == 2
+    assert a["sum_value"] == "3.0000"
+    assert a["events_per_sec"] == "0.001111"
