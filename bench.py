@@ -136,6 +136,7 @@ def main() -> None:
         "simhash_near_dup",
         "embedding_near_dup",
         "cosine_topk",
+        "cosine_topk_fast",
         "ann_lsh",
         "ann_ivf",
         "token_count",

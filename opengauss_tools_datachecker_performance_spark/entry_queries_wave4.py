@@ -209,3 +209,41 @@ def q_throughput_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# brute-force cosine top-k, Arrow/BLAS execution (same semantics/oracle
+# as cosine_topk; integer-only output so the float-accumulation-order
+# difference between gemm and the JVM fold is invisible unless two
+# candidates tie below ~1e-12 — not the case on these fixtures)
+# ---------------------------------------------------------------------------
+
+_COSINE_FAST_SQL = """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    s AS (
+      SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cs
+      FROM q, c WHERE neighbor_id <> query_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
+      FROM s
+    )
+    SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+"""
+
+
+@query("cosine_topk_fast", _COSINE_FAST_SQL)
+def q_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k on the Arrow/BLAS path
+    (operators.similarity.brute_force_topk_vectorized): one gemm per
+    corpus Arrow batch against the closure-shipped query matrix,
+    per-batch partial top-k, global window top-k — the throughput
+    variant of ``cosine_topk`` (same oracle)."""
+    from opengauss_tools_datachecker_performance_spark.operators.similarity import (
+        brute_force_topk_vectorized,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk_vectorized(emb.filter(F.col("vec_id") % 50 == 0), emb, k=5)

@@ -12,12 +12,14 @@ from opengauss_tools_datachecker_performance_spark.entry_queries import QUERIES
 SF = "/root/testdata/sf0.001"
 
 #: documented Arrow-batched paths (multimodal decode, t-digest UDAF,
-#: binary-Avro codec — no spark-avro jar in the pip distro)
+#: binary-Avro codec — no spark-avro jar in the pip distro — and the
+#: BLAS gemm top-k, whose whole point is the Arrow batch boundary)
 ALLOW_ARROW = {
     "multimodal_features",
     "drift_tdigest",
     "frame_sample_plan",
     "debezium_avro_binary",
+    "cosine_topk_fast",
 }
 
 #: documented BroadcastNestedLoopJoin users — bounded by construction:

@@ -82,3 +82,27 @@ def test_throughput_window_double_counts(spark):
     )
     total = win.agg(F.sum("n_events")).collect()[0][0]
     assert total == 200
+
+
+def test_brute_force_topk_vectorized_matches_jvm_exact(spark):
+    """The Arrow/BLAS path returns the SAME (query, neighbor, rank)
+    triples as the JVM interpreted-lambda baseline on well-separated
+    vectors — the two differ only in float accumulation order."""
+    from opengauss_tools_datachecker_performance_spark.operators.similarity import (
+        brute_force_topk_vectorized,
+    )
+
+    emb = _embeddings(spark, n=200, dims=16).repartition(8)
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    exact = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in brute_force_topk(queries, emb, k=5).collect()
+    )
+    fast = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in brute_force_topk_vectorized(queries, emb, k=5).collect()
+    )
+    assert fast == exact
+    # empty query set degrades to an empty, correctly-typed frame
+    none = brute_force_topk_vectorized(queries.limit(0), emb, k=5)
+    assert none.count() == 0 and none.columns == ["query_id", "neighbor_id", "rank"]
