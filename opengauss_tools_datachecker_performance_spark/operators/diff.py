@@ -42,33 +42,76 @@ def classify_diff(
     src_digest: DataFrame,
     sink_digest: DataFrame,
     carry_cols: list[str] | None = None,
+    locate_spans: bool = False,
 ) -> DataFrame:
     """Full-outer join of two ``(key, v_hash, ...)`` digest frames →
     ``(key, diff_type)`` rows, one per differing key (J1).
     ``carry_cols`` present on both inputs are carried through with
-    COALESCE(src, sink) — e.g. the partition column."""
+    COALESCE(src, sink) — e.g. the partition column.
+
+    ``locate_spans=True`` (requires ``span_hashes`` on both inputs)
+    additionally emits ``span_idx`` for update rows: the first index
+    where the two per-span hash arrays diverge, or the shorter length
+    when one sequence is a prefix — the reference's Difference.idx row
+    locator at span granularity, computed INSIDE the diff join. The
+    alternative (re-scanning both doc tables behind a key IN-list to
+    compare span bodies) was measured at 14-20 s per 3M-doc run and
+    nearly flat from local[2] to local[8]: parquet can't push a
+    multi-thousand-literal IN (pushdown threshold ~10), row-group
+    stats don't prune uniformly-spread keys, and the literal list
+    bloats every downstream plan re-analysis. Here the hashes ride the
+    rows the join already exchanges — zero extra scans or joins.
+
+    Hash-vs-body semantics: per-span hashes coalesce null fields to ''
+    (the reference's HashHandler.java:58 quirk), so a span differing
+    ONLY by null-vs-'' hashes equal — but such docs also fold to equal
+    ``v_hash`` and never enter the update set, so the body and hash
+    formulations agree on every row that reaches this locator
+    (cross-checked in tests/test_diff.py)."""
     carry = carry_cols or []
+    extra = ["span_hashes"] if locate_spans else []
     s = src_digest.select(
-        "key", F.col("v_hash").alias("src_v"), *[F.col(c).alias(f"src_{c}") for c in carry]
+        "key",
+        F.col("v_hash").alias("src_v"),
+        *[F.col(c).alias(f"src_{c}") for c in carry],
+        *[F.col(c).alias("src_h") for c in extra],
     )
     t = sink_digest.select(
-        "key", F.col("v_hash").alias("sink_v"), *[F.col(c).alias(f"sink_{c}") for c in carry]
+        "key",
+        F.col("v_hash").alias("sink_v"),
+        *[F.col(c).alias(f"sink_{c}") for c in carry],
+        *[F.col(c).alias("sink_h") for c in extra],
     )
     joined = s.join(t, "key", "full_outer")
-    return (
-        joined.select(
-            "key",
-            F.when(F.col("sink_v").isNull(), F.lit(INSERT))
-            .when(F.col("src_v").isNull(), F.lit(DELETE))
-            .when(F.col("src_v") != F.col("sink_v"), F.lit(UPDATE))
-            .alias("diff_type"),
-            *[
-                F.coalesce(F.col(f"src_{c}"), F.col(f"sink_{c}")).alias(c)
-                for c in carry
-            ],
-        )
-        .filter(F.col("diff_type").isNotNull())
+    diff_type = (
+        F.when(F.col("sink_v").isNull(), F.lit(INSERT))
+        .when(F.col("src_v").isNull(), F.lit(DELETE))
+        .when(F.col("src_v") != F.col("sink_v"), F.lit(UPDATE))
     )
+    cols = [
+        "key",
+        diff_type.alias("diff_type"),
+        *[
+            F.coalesce(F.col(f"src_{c}"), F.col(f"sink_{c}")).alias(c)
+            for c in carry
+        ],
+    ]
+    if locate_spans:
+        eq = F.zip_with(
+            F.col("src_h"), F.col("sink_h"), lambda a, b: a.eqNullSafe(b).cast("int")
+        )
+        first_bad = F.array_position(eq, F.lit(0)).cast("int")
+        cols.append(
+            F.when(
+                diff_type == UPDATE,
+                F.when(first_bad > 0, first_bad - 1).otherwise(
+                    F.least(F.size("src_h"), F.size("sink_h"))
+                ),
+            )
+            .cast("int")
+            .alias("span_idx")
+        )
+    return joined.select(*cols).filter(F.col("diff_type").isNotNull())
 
 
 def mismatched_buckets(src_digest: DataFrame, sink_digest: DataFrame) -> DataFrame:
@@ -104,19 +147,23 @@ def diff_digests(
     sink_digest: DataFrame,
     two_phase: bool = True,
     carry_cols: list[str] | None = None,
+    locate_spans: bool = False,
 ) -> DataFrame:
     """Diff two digest frames → ``(key, diff_type)``.
 
     ``two_phase=True`` (default, the scale path) prunes equal-signature
     buckets before the row-level join; ``False`` is the direct join
     (used by tests to cross-check the pruning is lossless).
+    ``locate_spans`` → see :func:`classify_diff`.
     """
     if two_phase:
         bad = mismatched_buckets(src_digest, sink_digest)
         # bucket set is small (≤ #buckets) → broadcast the semi-join
         src_digest = src_digest.join(F.broadcast(bad), "bucket", "left_semi")
         sink_digest = sink_digest.join(F.broadcast(bad), "bucket", "left_semi")
-    return classify_diff(src_digest, sink_digest, carry_cols=carry_cols)
+    return classify_diff(
+        src_digest, sink_digest, carry_cols=carry_cols, locate_spans=locate_spans
+    )
 
 
 def diff_tables(

@@ -44,7 +44,6 @@ from opengauss_tools_datachecker_performance_spark.digest import (
 from opengauss_tools_datachecker_performance_spark.functions.hashing import k_hash
 from opengauss_tools_datachecker_performance_spark.operators.diff import (
     diff_digests,
-    first_divergent_span,
 )
 
 CONSTRAINTS = ["consistency", "unique", "referential", "null_text", "drift"]
@@ -100,24 +99,37 @@ def _enriched_digests(docs: DataFrame) -> DataFrame:
     key = F.col("doc_id").cast("string")
     kh = k_hash(key)
     s = F.col("_s")
-    return docs.select(
-        key.alias("key"),
-        kh.alias("k_hash"),
-        _sorted_spans(F.col("spans")).alias("_s"),
-        bucket_of(kh).alias("bucket"),
-        F.col("part"),
-    ).select(
-        "key",
-        "k_hash",
-        span_sequence_hash_from_hashes(span_hashes_from_sorted(s)).alias("v_hash"),
-        "bucket",
-        "part",
-        span_text_volume_from_sorted(s).cast("double").alias("text_len"),
-        # span-rule inputs ride the same scan (sorted-order indexes):
-        # a handful of (idx, ref) pairs + an almost-always-empty int
-        # array per doc — the cached frame stays body-free
-        media_spans_col(s).alias("media_spans"),
-        null_text_idxs_col(s).alias("null_text_idxs"),
+    return (
+        docs.select(
+            key.alias("key"),
+            kh.alias("k_hash"),
+            _sorted_spans(F.col("spans")).alias("_s"),
+            bucket_of(kh).alias("bucket"),
+            F.col("part"),
+        )
+        .select(
+            "key",
+            "k_hash",
+            # per-span hash array materializes as its own attribute so
+            # the v_hash fold below reads it instead of re-hashing
+            # (Spark does NO cross-expression CSE) — and so the diff
+            # join can locate the first divergent span from the cache
+            # (classify_diff(locate_spans=True)) without ever
+            # re-reading doc bodies. ~8 B × spans/doc of extra cache —
+            # still an order of magnitude under the bodies.
+            span_hashes_from_sorted(s).alias("span_hashes"),
+            "bucket",
+            "part",
+            span_text_volume_from_sorted(s).cast("double").alias("text_len"),
+            # span-rule inputs ride the same scan (sorted-order indexes):
+            # a handful of (idx, ref) pairs + an almost-always-empty int
+            # array per doc — the cached frame stays body-free
+            media_spans_col(s).alias("media_spans"),
+            null_text_idxs_col(s).alias("null_text_idxs"),
+        )
+        .withColumn(
+            "v_hash", span_sequence_hash_from_hashes(F.col("span_hashes"))
+        )
     )
 
 
@@ -132,7 +144,6 @@ def validate_docs(
     eager: bool = True,
     max_violations_per_partition: int | None = None,
     skip_drift: bool = False,
-    max_inlist_keys: int = 32_768,
     driver_exchange: bool = False,
 ) -> ValidationResult:
     """Run every applicable check; returns violations + verdict grid.
@@ -163,16 +174,11 @@ def validate_docs(
         parts_all = docs_source.select("part").distinct()
         if docs_sink is not None:
             parts_all = parts_all.union(docs_sink.select("part")).distinct()
-        verdicts = (
-            parts_all.crossJoin(
-                spark.createDataFrame([(c,) for c in ["schema"]], "constraint string")
-            )
-            .select(
-                "part",
-                "constraint",
-                F.lit(1).alias("n_violations"),
-                F.lit("fail").alias("status"),
-            )
+        verdicts = parts_all.select(
+            "part",
+            F.lit("schema").alias("constraint"),
+            F.lit(1).alias("n_violations"),
+            F.lit("fail").alias("status"),
         )
         return ValidationResult(
             violations=_empty_violations(spark),
@@ -270,7 +276,10 @@ def validate_docs(
             # all 2^16 leaf signatures matched at the barrier — span-
             # sequence equality holds everywhere, no row-level join
             diffs = dig_src.select(
-                "key", F.lit(None).cast("string").alias("diff_type"), "part"
+                "key",
+                F.lit(None).cast("string").alias("diff_type"),
+                "part",
+                F.lit(None).cast("int").alias("span_idx"),
             ).limit(0)
         elif bucket_prune is not None:
             from opengauss_tools_datachecker_performance_spark.operators.diff import (
@@ -279,66 +288,39 @@ def validate_docs(
 
             s = dig_src.filter(F.col("bucket").isin(bucket_prune))
             t = dig_sink.filter(F.col("bucket").isin(bucket_prune))
-            diffs = classify_diff(s, t, carry_cols=["part"])
+            diffs = classify_diff(s, t, carry_cols=["part"], locate_spans=True)
         else:
             diffs = diff_digests(
-                dig_src, dig_sink, two_phase=two_phase, carry_cols=["part"]
+                dig_src,
+                dig_sink,
+                two_phase=two_phase,
+                carry_cols=["part"],
+                locate_spans=True,
             )
         diffs = diffs.persist()
         if eager:
             diffs.count()
-        # --- span location for updated keys. The naive plan re-scans
-        # BOTH doc tables (all span bodies) just to semi-join a tiny
-        # updated-key set — at bench scale that one stage cost as much
-        # as the digest scan itself, and at 100 TB it would double the
-        # job's I/O. Instead, read the updated (key, part) pairs off
-        # the persisted diff (tiny: diff-rate × rows) and push them
-        # into the scans as literal filters: the partition IN-list
-        # prunes whole files (the doc table is written partition-
-        # clustered) and the doc_id filter prunes row groups via
-        # parquet stats — a DPP-style runtime pushdown, the same trick
-        # as the reference's IN-list secondary check
-        # (IncrementCheckService re-extracts only changed PKs). Falls
-        # back to the broadcast-semi-join full scan above the IN-list
-        # cap (a diff that large means most row groups are touched
-        # anyway, so pushdown stops paying).
-        upd_kp = diffs.filter(F.col("diff_type") == "update").select("key", "part")
-        # count (cheap: diffs is persisted) BEFORE collecting, so a
-        # pathological everything-differs diff never floods the driver
-        n_upd = upd_kp.count() if max_inlist_keys > 0 else None
-        upd_rows = (
-            upd_kp.collect()
-            if n_upd is not None and n_upd <= max_inlist_keys
-            else None
-        )
-        if n_upd == 0:
-            span_loc = spark.createDataFrame([], "key string, span_idx int")
-        elif upd_rows is not None:
-            keys = [r["key"] for r in upd_rows]
-            parts = sorted({r["part"] for r in upd_rows})
-            src_f = docs_source.filter(
-                F.col("part").isin(parts) & F.col("doc_id").isin(keys)
-            )
-            sink_f = docs_sink.filter(
-                F.col("part").isin(parts) & F.col("doc_id").isin(keys)
-            )
-            span_loc = first_divergent_span(src_f, sink_f, None)
-        else:
-            # above the IN-list cap the key set is too big to FORCE a
-            # broadcast (that's exactly the large case) — plain semi
-            # join; AQE still turns it into a broadcast when it fits
-            span_loc = first_divergent_span(
-                docs_source, docs_sink, upd_kp.select("key")
-            )
-        diff_v = (
-            diffs.join(span_loc, "key", "left")
-            .select(
-                "part",
-                F.lit("consistency").alias("constraint"),
-                "key",
-                F.col("span_idx").cast("int"),
-                F.col("diff_type").alias("detail"),
-            )
+        # --- span location for updated keys rides the diff join
+        # itself (classify_diff(locate_spans=True)): the digest frames
+        # carry per-span hash arrays, so the first divergent index is
+        # a zip_with over columns the join already exchanged. Two
+        # earlier designs paid a second full-table body read for this:
+        # a key-IN-list pushdown re-scan (measured 14-20 s per 3M-doc
+        # run and nearly FLAT from local[2] to local[8] — parquet can't
+        # push a multi-thousand-literal IN, row-group stats don't prune
+        # uniformly-spread keys, and the literal list bloats every
+        # downstream plan re-analysis) and a broadcast-semi-join full
+        # scan. The in-join formulation eliminates the re-scan, the
+        # two driver barriers (count + collect), and the IN-list cap
+        # tuning at any scale. The IN-list fetch pattern itself lives
+        # on in streaming.incremental (P6), where the key set arrives
+        # from OUTSIDE the digest caches.
+        diff_v = diffs.select(
+            "part",
+            F.lit("consistency").alias("constraint"),
+            "key",
+            F.col("span_idx").cast("int"),
+            F.col("diff_type").alias("detail"),
         )
         pieces.append(diff_v)
 
@@ -401,9 +383,18 @@ def validate_docs(
         else drift_from_profiles(drift_prof, threshold=drift_threshold)
     )
 
-    # --- verdict grid: partitions × constraints, zero-filled ---
-    grid = parts_all.crossJoin(
-        spark.createDataFrame([(c,) for c in CONSTRAINTS if c != "drift"], "constraint string")
+    # --- verdict grid: partitions × constraints, zero-filled.
+    # explode(array(lit…)) instead of crossJoin(createDataFrame([...])):
+    # a Python-list frame plans as a PythonRDD scan, and under the
+    # cartesian it re-evaluated per OUTPUT PARTITION — measured 256
+    # tasks × ~200 ms of Python-worker round trip (~42 slot-seconds of
+    # zero-CPU dead time) in the final collect stage at any
+    # parallelism. The literal explode stays in codegen. ---
+    grid = parts_all.select(
+        "part",
+        F.explode(
+            F.array(*[F.lit(c) for c in CONSTRAINTS if c != "drift"])
+        ).alias("constraint"),
     )
     verdicts = (
         grid.join(counts, ["part", "constraint"], "left")

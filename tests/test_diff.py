@@ -3,6 +3,7 @@
 import pyspark.sql.functions as F
 
 from opengauss_tools_datachecker_performance_spark.operators.diff import (
+    diff_digests,
     diff_docs,
     diff_tables,
     first_divergent_span,
@@ -70,3 +71,33 @@ def test_flat_table_diff(spark):
 
 def test_identical_tables_no_diff(corpus):
     assert diff_docs(corpus["docs_source"], corpus["docs_source"]).count() == 0
+
+
+def test_locate_spans_in_join_matches_body_formulation(corpus):
+    """classify_diff(locate_spans=True) — the runner's zero-re-scan
+    span locator over digest-frame hash arrays — must agree with the
+    body-comparing first_divergent_span on every update key."""
+    from opengauss_tools_datachecker_performance_spark.plans.runner import (
+        _enriched_digests,
+    )
+
+    dig_s = _enriched_digests(corpus["docs_source"])
+    dig_t = _enriched_digests(corpus["docs_sink"])
+    diffs = diff_digests(
+        dig_s, dig_t, two_phase=True, carry_cols=["part"], locate_spans=True
+    )
+    got = {
+        r["key"]: r["span_idx"]
+        for r in diffs.filter(F.col("diff_type") == "update").collect()
+    }
+    upd = diffs.filter(F.col("diff_type") == "update").select("key")
+    want = {
+        r["key"]: r["span_idx"]
+        for r in first_divergent_span(
+            corpus["docs_source"], corpus["docs_sink"], upd
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    # non-update rows carry no span index
+    others = diffs.filter(F.col("diff_type") != "update").collect()
+    assert others and all(r["span_idx"] is None for r in others)
