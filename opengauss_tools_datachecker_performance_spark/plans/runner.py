@@ -248,7 +248,13 @@ def validate_docs(
             # materialize both sides' caches as CONCURRENT jobs (Spark
             # schedulers fill one job's straggler/stage-gap slack with
             # the other's tasks; on a real cluster this overlaps two
-            # independent table scans)
+            # independent table scans). A per-barrier AQE exemption
+            # (session-conf toggle around these counts) was built and
+            # interleaved-A/B-measured: WORSE (min 33.9 s vs 30.5 s at
+            # local[8] AQE-on, 3M docs) — caches built under a
+            # different AQE setting than their consumers cost more
+            # than AQE's stage decomposition does, so the barrier
+            # inherits the session setting untouched.
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=2) as pool:
