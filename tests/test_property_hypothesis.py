@@ -104,3 +104,46 @@ def _group(rows):
     for r in rows:
         out.setdefault(r["diff_type"], []).append(r)
     return out
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pair=corpus_pair())
+def test_locate_spans_matches_body_locator_on_random_corpora(spark, pair):
+    """The in-join span locator (digest-frame hash arrays,
+    classify_diff(locate_spans=True)) must agree with the
+    body-comparing first_divergent_span on ARBITRARY mutations —
+    text/kind/offset edits, added/dropped spans, null text."""
+    import pyspark.sql.functions as F
+
+    from opengauss_tools_datachecker_performance_spark.operators.diff import (
+        diff_digests,
+        first_divergent_span,
+    )
+    from opengauss_tools_datachecker_performance_spark.plans.runner import (
+        _enriched_digests,
+    )
+
+    src, sink = pair
+    sdf = _df(spark, src).withColumn("part", F.lit(0))
+    tdf = _df(spark, sink).withColumn("part", F.lit(0))
+    diffs = diff_digests(
+        _enriched_digests(sdf),
+        _enriched_digests(tdf),
+        two_phase=True,
+        carry_cols=["part"],
+        locate_spans=True,
+    )
+    got = {
+        r["key"]: r["span_idx"]
+        for r in diffs.filter(F.col("diff_type") == "update").collect()
+    }
+    upd = spark.createDataFrame([(k,) for k in got] or [("__none__",)], "key string")
+    want = {
+        r["key"]: r["span_idx"]
+        for r in first_divergent_span(sdf, tdf, upd).collect()
+    }
+    assert got == want, (src, sink)
