@@ -66,7 +66,10 @@ def get_spark(
             "spark.sql.adaptive.enabled",
             os.environ.get("SPARK_GRAFT_AQE", "true"),
         )
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            os.environ.get("SPARK_GRAFT_AQE_COALESCE", "true"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # the two-phase diff broadcasts the mismatched-bucket set, whose
