@@ -71,11 +71,16 @@ def main():
     phase("digest_src", lambda: dig_src.count())
     phase("digest_sink", lambda: dig_sink.count())
 
-    diffs = diff_digests(dig_src, dig_sink, two_phase=True, carry_cols=["part"]).persist()
-    phase("diff_two_phase", lambda: diffs.count())
+    diffs = diff_digests(
+        dig_src, dig_sink, two_phase=True, carry_cols=["part"], locate_spans=True
+    ).persist()
+    phase("diff_two_phase_with_span_locate", lambda: diffs.count())
 
+    # body-comparing locator kept as the REFERENCE phase: shows what the
+    # retired re-scan formulation would cost (runner now locates spans
+    # inside the diff join above)
     upd = F.broadcast(diffs.filter(F.col("diff_type") == "update").select("key"))
-    phase("span_locate", lambda: first_divergent_span(src, sink, upd).count())
+    phase("span_locate_body_rescan", lambda: first_divergent_span(src, sink, upd).count())
 
     phase("uniqueness", lambda: duplicate_keys_from_digests(dig_src).count())
     phase("span_rules", lambda: span_rule_violations(src, assets).count())
