@@ -39,7 +39,6 @@ from opengauss_tools_datachecker_performance_spark.checks.uniqueness import (
 from opengauss_tools_datachecker_performance_spark.digest import (
     bucket_of,
     bucket_signatures,
-    span_sequence_hash_col,
 )
 from opengauss_tools_datachecker_performance_spark.functions.hashing import k_hash
 from opengauss_tools_datachecker_performance_spark.operators.diff import (
