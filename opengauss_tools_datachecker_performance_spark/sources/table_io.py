@@ -12,6 +12,9 @@ Ref grammar:
 * ``iceberg:db.tbl@<snapshot>`` → time-travel read of that snapshot
   (``option('snapshot-id', ...)``) — how a resumed run re-reads the
   EXACT data version its ledger rows were computed from.
+* ``table:name``                → ``spark.table(name)`` — catalog read;
+  the only path that preserves bucketBy metadata (sources.bucketed),
+  so bucketed source+sink diff without a shuffle.
 * anything else                 → parquet path.
 
 On Iceberg, the lineage ledger's ``digest`` column is complemented by
@@ -25,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 ICEBERG_PREFIX = "iceberg:"
+TABLE_PREFIX = "table:"
 
 
 def is_iceberg_ref(ref: str) -> bool:
@@ -47,6 +51,8 @@ def load_table(spark: SparkSession, ref: str) -> DataFrame:
         if snap is not None:
             reader = reader.option("snapshot-id", str(snap))
         return reader.load(ident)
+    if ref.startswith(TABLE_PREFIX):
+        return spark.table(ref[len(TABLE_PREFIX):])
     return spark.read.parquet(ref)
 
 
