@@ -509,3 +509,41 @@ def q_drift_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("metric"),
     )
     return drift_by_tdigest(d, threshold=0.3).select("part", "n", "drifted")
+
+
+@query(
+    "multimodal_resize",
+    f"""
+    WITH cat AS ({_ASSET_CATALOG_SQL}),
+    p AS (
+      SELECT media_ref, mime, n_bytes,
+             substr(repeat(md5(media_ref), 33), 1, (n_bytes * 2)::INT) AS h
+      FROM cat
+    )
+    SELECT media_ref, mime, n_bytes AS src_bytes,
+           32 AS target_w, 32 AS target_h,
+           CASE WHEN n_bytes < 33 THEN n_bytes ELSE 33 END AS out_bytes,
+           md5(substr(h, 1, ((CASE WHEN n_bytes < 33 THEN n_bytes ELSE 33 END) * 2)::INT)) AS out_digest
+    FROM p
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing (operators.multimodal.resize_media):
+    Arrow-batched mapInPandas over binary payloads; the stub resize is
+    a deterministic byte-prefix + md5-of-hex so the oracle replays the
+    exact byte math from the hex form of the same payload. 32×32
+    target → 33-byte prefix (1 + 1024//32)."""
+    from opengauss_tools_datachecker_performance_spark.operators.multimodal import (
+        resize_media,
+    )
+
+    cat = _asset_catalog(spark, sf_dir)
+    with_payload = cat.withColumn(
+        "payload",
+        F.unhex(
+            F.repeat(F.md5("media_ref"), 33).substr(
+                F.lit(1), (F.col("n_bytes") * 2).cast("int")
+            )
+        ),
+    ).drop("n_bytes")
+    return resize_media(with_payload, target_w=32, target_h=32)

@@ -127,3 +127,59 @@ def frame_sample_plan(
         "frame_idx",
         (F.col("frame_idx") * every_n_bytes).alias("byte_offset"),
     )
+
+
+RESIZE_SCHEMA = (
+    "media_ref string, mime string, src_bytes long, target_w int, "
+    "target_h int, out_bytes long, out_digest string"
+)
+
+
+def resize_media(
+    assets_with_payload: DataFrame,
+    target_w: int = 32,
+    target_h: int = 32,
+    strict: bool = False,
+) -> DataFrame:
+    """Resize plumbing: Arrow-batched ``mapInPandas`` over binary
+    payloads — the slot where a real scaler (PIL / libav) runs per
+    payload at production. The stub "resize" is deterministic AND
+    SQL-replicable so the catalog entry stays oracle-checked: the
+    resized payload is the first ``1 + target_w*target_h//32`` bytes
+    of the source (capped at its length) and ``out_digest`` is the md5
+    of that prefix's lowercase-hex rendering. ``strict=True`` raises
+    exactly at the codec boundary, like ``extract_features``.
+
+    Payloads stream per Arrow batch and only the digest + dims leave
+    the executor — the resized bytes themselves would be written to a
+    sink column in a real pipeline, never collected."""
+    import hashlib
+
+    k = 1 + (target_w * target_h) // 32
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if strict:
+                raise NotImplementedError(
+                    "media resize requires an image/audio codec library; "
+                    "this environment ships none — plug one in here"
+                )
+            src_bytes = [len(p) if p is not None else 0 for p in pdf["payload"]]
+            resized = [
+                (p or b"")[: min(n, k)] for p, n in zip(pdf["payload"], src_bytes)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "mime": pdf["mime"],
+                    "src_bytes": src_bytes,
+                    "target_w": target_w,
+                    "target_h": target_h,
+                    "out_bytes": [len(r) for r in resized],
+                    "out_digest": [
+                        hashlib.md5(r.hex().encode()).hexdigest() for r in resized
+                    ],
+                }
+            )
+
+    return assets_with_payload.mapInPandas(batches, schema=RESIZE_SCHEMA)

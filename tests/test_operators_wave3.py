@@ -196,3 +196,46 @@ def test_doc_repair_statements_composite_pk(spark):
     assert all("ON t.k1 = s.k1 AND t.k2 = s.k2" in s for s in upserts)
     assert len(deletes) == 1
     assert deletes[0] == "DELETE FROM snk WHERE (k1, k2) IN (('3', 'z'));"
+
+
+def test_resize_media_stub_and_strict(spark):
+    """resize_media: deterministic prefix+digest stub over Arrow
+    batches; strict mode raises at the codec boundary."""
+    import hashlib
+
+    import pytest
+
+    from opengauss_tools_datachecker_performance_spark.operators.multimodal import (
+        resize_media,
+        synth_payloads,
+    )
+
+    cat = spark.createDataFrame(
+        [("m1", "image/png"), ("m2", "video/mp4")], "media_ref string, mime string"
+    )
+    rows = {
+        r["media_ref"]: r
+        for r in resize_media(
+            synth_payloads(cat, payload_bytes=128), target_w=32, target_h=32
+        ).collect()
+    }
+    assert set(rows) == {"m1", "m2"}
+    for r in rows.values():
+        assert r["src_bytes"] == 128 and r["out_bytes"] == 33  # 1 + 1024//32
+        assert (r["target_w"], r["target_h"]) == (32, 32)
+        assert len(r["out_digest"]) == 32
+    # digest is the md5 of the prefix's lowercase hex — recompute one
+    payload = [
+        r["payload"]
+        for r in synth_payloads(cat, payload_bytes=128).collect()
+        if r["media_ref"] == "m1"
+    ][0]
+    want = hashlib.md5(bytes(payload)[:33].hex().encode()).hexdigest()
+    assert rows["m1"]["out_digest"] == want
+    # a payload shorter than the prefix caps at its own length
+    short = resize_media(
+        synth_payloads(cat, payload_bytes=8), target_w=32, target_h=32
+    ).collect()
+    assert all(r["out_bytes"] == 8 for r in short)
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        resize_media(synth_payloads(cat), strict=True).collect()

@@ -20,6 +20,7 @@ ALLOW_ARROW = {
     "frame_sample_plan",
     "debezium_avro_binary",
     "cosine_topk_fast",
+    "multimodal_resize",
 }
 
 #: documented BroadcastNestedLoopJoin users — bounded by construction:
