@@ -69,6 +69,14 @@ def classify_diff(
     formulations agree on every row that reaches this locator
     (cross-checked in tests/test_diff.py)."""
     carry = carry_cols or []
+    if locate_spans and not (
+        "span_hashes" in src_digest.columns and "span_hashes" in sink_digest.columns
+    ):
+        raise ValueError(
+            "locate_spans=True needs a span_hashes array on both digest "
+            "frames (plans.runner._enriched_digests builds it); plain "
+            "row digests diff with locate_spans=False"
+        )
     extra = ["span_hashes"] if locate_spans else []
     s = src_digest.select(
         "key",

@@ -101,3 +101,15 @@ def test_locate_spans_in_join_matches_body_formulation(corpus):
     # non-update rows carry no span index
     others = diffs.filter(F.col("diff_type") != "update").collect()
     assert others and all(r["span_idx"] is None for r in others)
+
+
+def test_locate_spans_requires_span_hashes(spark):
+    import pytest
+
+    from opengauss_tools_datachecker_performance_spark.operators.diff import (
+        classify_diff,
+    )
+
+    plain = spark.createDataFrame([("k1", 1)], "key string, v_hash long")
+    with pytest.raises(ValueError, match="span_hashes"):
+        classify_diff(plain, plain, locate_spans=True)
