@@ -71,6 +71,16 @@ def build_parser() -> argparse.ArgumentParser:
         "--repair-batch-size", type=int, default=100,
         help="keys per repair statement IN-list",
     )
+    p.add_argument(
+        "--near-dup-table", default=None,
+        help="also run MinHash-LSH near-duplicate detection over this "
+             "documents table (needs doc_id + text columns); pairs land "
+             "in near_dup_pairs.parquet and any capped coverage "
+             "(mega-bucket / stop-shingle drops) in summary.json's "
+             "coverage_bounds — the cap is never silent",
+    )
+    p.add_argument("--near-dup-threshold", type=float, default=0.5,
+                   help="verified-Jaccard threshold for --near-dup-table")
     p.add_argument("--run-id", default=None)
     p.add_argument("--master", default=None, help="override master (default: spark-submit / env)")
     return p
@@ -196,6 +206,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             "violations.parquet",
             "verdicts.parquet",
             "drift_profiles.parquet",
+            "repair.sql",  # stale repair chunks re-apply old DELETEs
         ):
             shutil.rmtree(os.path.join(args.report_dir, frame), ignore_errors=True)
     chunks = (
@@ -266,8 +277,33 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
 
     if chunked and schema_ok:
         _finalize_drift(spark, args.report_dir, args.drift_threshold)
+    coverage = None
+    if args.near_dup_table:
+        from opengauss_tools_datachecker_performance_spark.operators.dedup import (
+            coverage_counts,
+            minhash_near_duplicates,
+            release,
+        )
+
+        cov: dict = {}
+        pairs = minhash_near_duplicates(
+            load_table(spark, args.near_dup_table),
+            "doc_id",
+            "text",
+            threshold=args.near_dup_threshold,
+            coverage_out=cov,
+        )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(args.report_dir, "near_dup_pairs.parquet")
+        )
+        coverage = coverage_counts(cov)
+        release(cov)
     summary = summarize_dir(
-        spark, args.report_dir, schema_ok=schema_ok, schema_message=schema_msg
+        spark,
+        args.report_dir,
+        schema_ok=schema_ok,
+        schema_message=schema_msg,
+        coverage=coverage,
     )
     ok = summary["result"] == "success"
     print(f"[validate] run={run_id} result={summary['result']}")

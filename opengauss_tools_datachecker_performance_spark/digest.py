@@ -187,6 +187,12 @@ def span_hashes_from_sorted(sorted_spans_col: Column) -> Column:
 #: arbitrary odd seed for the span-sequence fold (golden-ratio prime)
 _SPAN_FOLD_SEED = -7046029254386353131
 
+#: distinct digest for a NULL spans column, so NULL vs [] between
+#: source and sink is still detected as an update (arbitrary odd
+#: constant != seed; colliding with a real fold output needs a 64-bit
+#: collision — the same accepted class as any digest equality)
+_NULL_SPANS_DIGEST = -5659871106399925013
+
 
 def span_sequence_hash_from_hashes(span_hashes_col: Column) -> Column:
     """Order-sensitive fold of the per-span hash array into the doc
@@ -199,14 +205,16 @@ def span_sequence_hash_from_hashes(span_hashes_col: Column) -> Column:
     2.40 s for render+hash+length) while the boundary-safe
     length-prefixed render costs 3.13 s — the int fold avoids building
     the big concat string entirely. Empty span arrays digest to the
-    seed; a NULL spans column digests NULL→seed too (coalesce)."""
+    seed; a NULL spans column digests to a DISTINCT sentinel so a
+    NULL-vs-[] discrepancy between source and sink still surfaces as
+    an update instead of silently comparing equal."""
     return F.coalesce(
         F.aggregate(
             span_hashes_col,
             F.lit(_SPAN_FOLD_SEED),
             lambda acc, h: F.xxhash64(acc, h),
         ),
-        F.lit(_SPAN_FOLD_SEED),
+        F.lit(_NULL_SPANS_DIGEST),
     )
 
 

@@ -534,14 +534,6 @@ def _sql_simhash_sig() -> str:
     )
 
 
-_SQL_SIMHASH_TOKENS = f"""
-    SELECT doc_id,
-           list_transform({{src}},
-                          x -> {_SQL_PHASH.format(x='x')}) AS hs
-    FROM {{tbl}}
-"""
-
-
 @query(
     "simhash",
     f"""

@@ -265,24 +265,6 @@ def shingle_rows(df, id_col: str, text_col: str, k: int = 3, distinct: bool = Tr
     return out.dropDuplicates(["doc_id", "sh"]) if distinct else out
 
 
-def token_hash_pipeline(df, id_col: str, text_col: str):
-    """(id, text) frame → (doc_id, th): materialized per-token portable
-    hashes (the SimHash input) — same projection-step discipline as
-    shingle_pipeline."""
-    from opengauss_tools_datachecker_performance_spark.functions.hashing import (
-        portable_hash64,
-    )
-
-    toks = df.select(
-        F.col(id_col).cast("string").alias("doc_id"),
-        ws_tokens(normalized_text(F.col(text_col))).alias("_toks"),
-    )
-    return toks.select(
-        "doc_id",
-        F.transform(F.col("_toks"), lambda t: portable_hash64(t)).alias("th"),
-    )
-
-
 def shingle_hashes(text: Column, k: int = 3) -> Column:
     """Distinct portable-hash values of the k-word shingle set."""
     return F.array_distinct(

@@ -109,11 +109,18 @@ def classify_diff(
             F.col("src_h"), F.col("sink_h"), lambda a, b: a.eqNullSafe(b).cast("int")
         )
         first_bad = F.array_position(eq, F.lit(0)).cast("int")
+        # NULL span_hashes (NULL spans column) locates like an empty
+        # array: zip_with/size return NULL for it, so coalesce both
+        # the position path and the length path to the 0-length view
+        common_len = F.least(
+            F.coalesce(F.size("src_h"), F.lit(0)),
+            F.coalesce(F.size("sink_h"), F.lit(0)),
+        )
         cols.append(
             F.when(
                 diff_type == UPDATE,
-                F.when(first_bad > 0, first_bad - 1).otherwise(
-                    F.least(F.size("src_h"), F.size("sink_h"))
+                F.coalesce(
+                    F.when(first_bad > 0, first_bad - 1), common_len
                 ),
             )
             .cast("int")

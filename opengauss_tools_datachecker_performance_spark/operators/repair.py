@@ -156,9 +156,14 @@ def _normalize_keys(
     if key_types is None:
         types = [T.StringType()] * len(cols)
     elif isinstance(key_types, T.DataType):
-        types = [key_types]
+        # a single DataType means "every key column has this type"
+        types = [key_types] * len(cols)
     else:
         types = list(key_types)
+    if len(types) != len(cols):
+        raise ValueError(
+            f"key_types has {len(types)} entries for {len(cols)} key columns"
+        )
     return cols, types
 
 
@@ -170,16 +175,20 @@ def _key_in_literal(key_cols: list[str], key_types: list[T.DataType]) -> Column:
     SelectDmlBuilder.java:108-137 / BatchDeleteDmlBuilder.java."""
     parts = F.split(F.col("key"), "_#_")
 
-    def lit_at(i: int, dtype: T.DataType) -> Column:
-        v = F.element_at(parts, i + 1)
+    def render(v: Column, dtype: T.DataType) -> Column:
         if isinstance(
             dtype, (T.StringType, T.TimestampType, T.TimestampNTZType, T.DateType)
         ):
             return sql_literal(v, T.StringType())
         return v
 
+    def lit_at(i: int, dtype: T.DataType) -> Column:
+        return render(F.element_at(parts, i + 1), dtype)
+
     if len(key_cols) == 1:
-        return lit_at(0, key_types[0])
+        # single PK: the composite key IS the value — never split it,
+        # or a legitimate key containing '_#_' would be truncated
+        return render(F.col("key"), key_types[0])
     return F.concat(
         F.lit("("),
         F.concat_ws(", ", *[lit_at(i, t) for i, t in enumerate(key_types)]),

@@ -39,7 +39,19 @@ def norm(a: Column) -> Column:
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Guarded: mismatched embedding lengths raise at action time —
+    zip_with would otherwise NULL-pad, the pair would score NULL, and
+    the row would silently drop out of every top-k."""
+    ok = F.assert_true(
+        a.isNull() | b.isNull() | (F.size(a) == F.size(b)),
+        F.concat(
+            F.lit("cosine over mismatched embedding lengths: "),
+            F.size(a).cast("string"),
+            F.lit(" vs "),
+            F.size(b).cast("string"),
+        ),
+    )
+    return F.when(ok.isNull(), dot(a, b) / (norm(a) * norm(b)))
 
 
 def brute_force_topk(
@@ -97,12 +109,35 @@ def plane_weights(table: int, plane: int, dims: int) -> list[int]:
     return out
 
 
+def checked_dims(vec: Column, dims: int) -> Column:
+    """Executor-side fail-fast when a vector's length differs from the
+    configured plane dimensionality.  Without this, ``zip_with`` pads
+    the shorter array with NULLs, every projection NULLs out to the
+    ``otherwise(0)`` bit, and ALL vectors silently share bucket 0 —
+    which then either explodes the candidate join or (over
+    ``max_bucket_size``) drops every pair with zero recall.  NULL
+    vectors pass through (callers decide their semantics)."""
+    ok = F.assert_true(
+        vec.isNull() | (F.size(vec) == F.lit(dims)),
+        F.concat(
+            F.lit(f"embedding length != configured dims={dims}: got "),
+            F.size(vec).cast("string"),
+        ),
+    )
+    return F.when(ok.isNull(), vec)
+
+
 def hyperplane_signature(vec: Column, dims: int, n_planes: int, table: int = 0) -> Column:
     """Deterministic random-hyperplane LSH signature (int bucket id).
 
     Plane p's weight for dimension d is ±1 by the parity of the
     portable hash of 'table:p:d' — computed at PLAN TIME into literal
-    arrays, so executors evaluate a pure arithmetic expression."""
+    arrays, so executors evaluate a pure arithmetic expression.
+
+    Guarded by :func:`checked_dims`: a corpus whose embeddings are not
+    ``dims``-long raises at action time instead of silently hashing
+    everything to bucket 0."""
+    vec = checked_dims(vec, dims)
     bits = []
     for p in range(n_planes):
         weights = F.array(*[F.lit(float(w)) for w in plane_weights(table, p, dims)])
@@ -323,11 +358,26 @@ def brute_force_topk_vectorized(
             sims = qm @ cm.T  # (|Q| × batch)
             sims[qids[:, None] == cids[None, :]] = -np.inf  # self-exclude
             kk = min(k, n)
-            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            # argpartition alone drops boundary ties arbitrarily, which
+            # breaks the (cos desc, neighbor_id asc) contract the global
+            # window assumes.  Keep everything >= the kk-th value, then
+            # order those few candidates by the SAME total order as the
+            # window and take kk — the per-batch partial is then an exact
+            # semigroup of the global top-k (anything cut is strictly
+            # below kk surviving rows).
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            boundary = np.take_along_axis(sims, part, axis=1).min(axis=1)
+            q_out, n_out, s_out = [], [], []
+            for qi in range(sims.shape[0]):
+                cand = np.flatnonzero(sims[qi] >= boundary[qi])
+                keep = cand[np.lexsort((cids[cand], -sims[qi][cand]))][:kk]
+                q_out.append(np.full(keep.size, qids[qi], dtype=np.int64))
+                n_out.append(cids[keep])
+                s_out.append(sims[qi][keep])
             rows = {
-                "query_id": np.repeat(qids, kk),
-                "neighbor_id": cids[idx.ravel()],
-                "cos_sim": np.take_along_axis(sims, idx, axis=1).ravel(),
+                "query_id": np.concatenate(q_out),
+                "neighbor_id": np.concatenate(n_out),
+                "cos_sim": np.concatenate(s_out),
             }
             out = pd.DataFrame(rows)
             yield out[out["cos_sim"] != -np.inf]

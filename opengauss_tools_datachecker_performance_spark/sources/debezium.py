@@ -20,6 +20,8 @@ not a driver-side loop.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -162,25 +164,42 @@ def decode_debezium_avro_binary(
     if reader_schema_json is not None:
         try:
             from pyspark.sql.avro.functions import from_avro
+        except ImportError:
+            from_avro = None
+        if from_avro is not None:
+            try:
+                rec = from_avro(F.col(payload_col), reader_schema_json)
+                out = events.select(
+                    rec["source"]["table"].alias("table_name"),
+                    rec["op"].alias("op"),
+                    F.coalesce(rec["after"][pk_field], rec["before"][pk_field])
+                    .cast("string")
+                    .alias("key"),
+                    rec["ts_ms"].alias("ts_ms"),
+                )
+                # force analysis so a missing jar surfaces here, not at action
+                out.schema
+                return out.filter(
+                    F.col("table_name").isNotNull() & F.col("key").isNotNull()
+                )
+            except Exception as e:
+                # ONLY a missing spark-avro jar may swap decode engines
+                # (AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE); any other
+                # analysis error (malformed reader schema, wrong column)
+                # is a real bug the caller must see, not silently decode
+                # around with a different engine.
+                if "AVRO_NOT_LOADED" not in str(e):
+                    raise
 
-            rec = from_avro(F.col(payload_col), reader_schema_json)
-            out = events.select(
-                rec["source"]["table"].alias("table_name"),
-                rec["op"].alias("op"),
-                F.coalesce(rec["after"][pk_field], rec["before"][pk_field])
-                .cast("string")
-                .alias("key"),
-                rec["ts_ms"].alias("ts_ms"),
-            )
-            # force analysis so a missing jar surfaces here, not at action
-            out.schema
-            return out.filter(
-                F.col("table_name").isNotNull() & F.col("key").isNotNull()
-            )
-        except Exception:
-            pass  # fall through to the self-contained codec
-
-    schema = avro_schema or DEBEZIUM_AVRO_BINARY_SCHEMA
+    # self-contained codec: decode with the CALLER'S schema when one was
+    # provided — falling back to the built-in envelope layout here would
+    # parse the varint/union stream against the wrong field order.
+    if avro_schema is not None:
+        schema = avro_schema
+    elif reader_schema_json is not None:
+        schema = json.loads(reader_schema_json)
+    else:
+        schema = DEBEZIUM_AVRO_BINARY_SCHEMA
     from opengauss_tools_datachecker_performance_spark.functions.avro_codec import (
         decode,
     )
