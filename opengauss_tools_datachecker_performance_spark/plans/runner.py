@@ -21,6 +21,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from opengauss_tools_datachecker_performance_spark.checks.drift import (
     drift_from_profiles,
@@ -73,6 +74,40 @@ def drift_verdicts(drift: DataFrame) -> DataFrame:
     )
 
 
+#: the digest-companion contract: a table carrying exactly what the
+#: checks consume lets validation skip the doc-body scan entirely —
+#: ~8 B/span of hashes instead of the text bytes (the measured
+#: memory-bandwidth ceiling of the digest stage). Produced at ingest
+#: by sources.prehashed.write_digest_companion.
+ENRICHED_COLS = [
+    "key",
+    "k_hash",
+    "span_hashes",
+    "bucket",
+    "part",
+    "text_len",
+    "media_spans",
+    "null_text_idxs",
+    "v_hash",
+]
+
+
+def is_enriched(df: DataFrame) -> bool:
+    """True if ``df`` already carries the full digest-companion
+    contract (ENRICHED_COLS) — validate_docs then runs every check
+    off it without ever reading doc bodies."""
+    return set(ENRICHED_COLS) <= set(df.columns)
+
+
+def enriched_schema(spark: SparkSession) -> T.StructType:
+    """The companion contract's exact types, derived from the docs
+    schema through the real projection (never hand-maintained)."""
+    empty = spark.createDataFrame([], DOCS_SCHEMA).withColumn(
+        "part", F.lit(0)
+    )
+    return _enriched_digests(empty).schema
+
+
 def _enriched_digests(docs: DataFrame) -> DataFrame:
     """One projection of the scan carrying everything the cheap checks
     need: span-sequence digest + k_hash (diff, uniqueness), partition,
@@ -85,7 +120,14 @@ def _enriched_digests(docs: DataFrame) -> DataFrame:
     building a rendered string — digest.span_sequence_hash_from_hashes
     has the measured numbers) and the drift metric is the byte volume
     of the same sorted spans (monotone in text volume, which is
-    exactly what the distribution-drift check needs)."""
+    exactly what the distribution-drift check needs).
+
+    Digest-companion fast path: input that already carries the full
+    ENRICHED_COLS contract (written at ingest by
+    sources.prehashed.write_digest_companion) passes through with a
+    column-pruning projection — no body scan, no hashing."""
+    if is_enriched(docs):
+        return docs.select(*ENRICHED_COLS)
     from opengauss_tools_datachecker_performance_spark.digest import (
         _sorted_spans,
         media_spans_col,
@@ -153,21 +195,36 @@ def validate_docs(
     """
     spark = docs_source.sparkSession
 
-    # --- schema pre-check: failure excludes data checks (ref §3.2) ---
-    present = {f.name for f in docs_source.schema.fields}
-    probe_cols = [f.name for f in DOCS_SCHEMA.fields if f.name in present]
-    sres = check_schema(
-        docs_source.select(*probe_cols) if probe_cols else docs_source.limit(0),
-        DOCS_SCHEMA,
-        check_types=True,
-    )
-    if only_partitions is not None:
-        docs_source = docs_source.filter(F.col(partition_col).isin(only_partitions))
-        if docs_sink is not None:
-            docs_sink = docs_sink.filter(F.col(partition_col).isin(only_partitions))
     docs_source = docs_source.withColumnRenamed(partition_col, "part")
     if docs_sink is not None:
         docs_sink = docs_sink.withColumnRenamed(partition_col, "part")
+
+    # --- schema pre-check: failure excludes data checks (ref §3.2).
+    # Digest-companion inputs (ENRICHED_COLS) are checked against the
+    # companion contract instead of the raw docs schema.
+    if is_enriched(docs_source) and (
+        docs_sink is None or is_enriched(docs_sink)
+    ):
+        want = enriched_schema(spark)
+        sres = check_schema(
+            docs_source.select(*ENRICHED_COLS), want, check_types=True
+        )
+        if sres.equal and docs_sink is not None:
+            sres = check_schema(
+                docs_sink.select(*ENRICHED_COLS), want, check_types=True
+            )
+    else:
+        present = {f.name for f in docs_source.schema.fields}
+        probe_cols = [f.name for f in DOCS_SCHEMA.fields if f.name in present]
+        sres = check_schema(
+            docs_source.select(*probe_cols) if probe_cols else docs_source.limit(0),
+            DOCS_SCHEMA,
+            check_types=True,
+        )
+    if only_partitions is not None:
+        docs_source = docs_source.filter(F.col("part").isin(only_partitions))
+        if docs_sink is not None:
+            docs_sink = docs_sink.filter(F.col("part").isin(only_partitions))
 
     if not sres.equal:
         parts_all = docs_source.select("part").distinct()

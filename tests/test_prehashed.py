@@ -1,0 +1,129 @@
+"""Digest-companion tables (sources.prehashed): body-free validation
+must produce byte-identical violations + verdicts to the raw path."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from opengauss_tools_datachecker_performance_spark.plans.runner import (
+    ENRICHED_COLS,
+    validate_docs,
+)
+from opengauss_tools_datachecker_performance_spark.sources.prehashed import (
+    read_digest_companion,
+    write_digest_companion,
+)
+from opengauss_tools_datachecker_performance_spark.synth import write_corpus
+
+
+def _result_sets(res):
+    vio = {
+        (r["part"], r["constraint"], r["key"], r["span_idx"], r["detail"])
+        for r in res.violations.collect()
+    }
+    ver = {
+        (r["part"], r["constraint"], r["n_violations"], r["status"])
+        for r in res.verdicts.collect()
+    }
+    return vio, ver
+
+
+def test_companion_run_matches_raw_run(spark, tmp_path):
+    corpus = str(tmp_path / "corpus")
+    write_corpus(spark, corpus, n_docs=600, n_assets=50, n_partitions=3)
+    src = spark.read.parquet(f"{corpus}/docs_source.parquet")
+    sink = spark.read.parquet(f"{corpus}/docs_sink.parquet")
+    assets = spark.read.parquet(f"{corpus}/assets.parquet")
+
+    raw = validate_docs(src, sink, assets)
+    assert raw.schema_ok
+
+    csrc, csnk = str(tmp_path / "comp_src"), str(tmp_path / "comp_snk")
+    write_digest_companion(src, csrc)
+    write_digest_companion(sink, csnk)
+    comp = validate_docs(
+        read_digest_companion(spark, csrc),
+        read_digest_companion(spark, csnk),
+        assets,
+    )
+    assert comp.schema_ok, comp.schema_message
+
+    assert _result_sets(comp) == _result_sets(raw)
+
+    # the companion digest plan must not touch doc bodies: no span
+    # sort, no xxhash over raw fields — just the pruned column read
+    dig_plan = (
+        comp.extras["digests_source"]
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "sort_array" not in dig_plan
+
+    for df in (
+        comp.extras.get("digests_source"),
+        comp.extras.get("digests_sink"),
+        raw.extras.get("digests_source"),
+        raw.extras.get("digests_sink"),
+        comp.extras.get("diffs"),
+        raw.extras.get("diffs"),
+    ):
+        if df is not None:
+            df.unpersist()
+
+
+def test_companion_partition_pruning_and_contract(spark, tmp_path):
+    """only_partitions restricts the companion scan (resume waves) and
+    a companion with a wrong-typed column fails the schema pre-check
+    instead of crashing mid-checks."""
+    corpus = str(tmp_path / "corpus")
+    write_corpus(spark, corpus, n_docs=300, n_assets=30, n_partitions=3)
+    src = spark.read.parquet(f"{corpus}/docs_source.parquet")
+    comp_path = str(tmp_path / "comp")
+    write_digest_companion(src, comp_path)
+    comp = read_digest_companion(spark, comp_path)
+    assert set(ENRICHED_COLS) <= set(comp.columns)
+
+    res = validate_docs(comp, None, None, only_partitions=[1])
+    parts = {r["part"] for r in res.verdicts.collect()}
+    assert parts == {1}
+
+    broken = comp.withColumn("v_hash", F.col("v_hash").cast("string"))
+    bad = validate_docs(broken, None, None)
+    assert not bad.schema_ok
+    assert "v_hash" in bad.schema_message
+
+    for df in (
+        res.extras.get("digests_source"),
+    ):
+        if df is not None:
+            df.unpersist()
+
+
+def test_bucketed_companion_diff_has_no_key_exchange(spark, tmp_path):
+    """Bucketed companions compound both layout wins: body-free scan
+    AND a zero-Exchange consistency diff."""
+    from opengauss_tools_datachecker_performance_spark.operators.diff import (
+        classify_diff,
+    )
+    from opengauss_tools_datachecker_performance_spark.plans.runner import (
+        _enriched_digests,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    write_corpus(spark, corpus, n_docs=400, n_assets=30, n_partitions=2)
+    src = spark.read.parquet(f"{corpus}/docs_source.parquet")
+    sink = spark.read.parquet(f"{corpus}/docs_sink.parquet")
+    base = str(tmp_path / "bkt")
+    write_digest_companion(src, path=f"{base}/src", table_name="comp_bsrc", n_buckets=8)
+    write_digest_companion(sink, path=f"{base}/snk", table_name="comp_bsnk", n_buckets=8)
+    try:
+        a = read_digest_companion(spark, "table:comp_bsrc")
+        b = read_digest_companion(spark, "table:comp_bsnk")
+        d = classify_diff(_enriched_digests(a), _enriched_digests(b))
+        plan = d._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning(key" not in plan
+        assert d.count() > 0  # seeded violations still detected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS comp_bsrc")
+        spark.sql("DROP TABLE IF EXISTS comp_bsnk")
