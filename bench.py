@@ -52,11 +52,34 @@ def _ensure_corpus(spark, cache_dir: str) -> str:
     return out
 
 
-def bench_validate_docs(spark, corpus_dir: str) -> tuple[float, dict]:
+def _ensure_companions(spark, corpus_dir: str, cache_dir: str) -> str:
+    """Build-and-cache digest companions for the bench corpus (the
+    one-time ingest cost of the X2b production layout)."""
+    comp_dir = os.path.join(cache_dir, f"companion_{N_DOCS}")
+    marker = os.path.join(comp_dir, "_DONE")
+    if not os.path.exists(marker):
+        from opengauss_tools_datachecker_performance_spark.sources.prehashed import (
+            write_digest_companion,
+        )
+
+        for side in ("docs_source", "docs_sink"):
+            write_digest_companion(
+                spark.read.parquet(f"{corpus_dir}/{side}.parquet"),
+                os.path.join(comp_dir, f"{side}.parquet"),
+            )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return comp_dir
+
+
+def bench_validate_docs(
+    spark, corpus_dir: str, docs_dir: str | None = None
+) -> tuple[float, dict]:
     from opengauss_tools_datachecker_performance_spark.plans.runner import validate_docs
 
-    src = spark.read.parquet(f"{corpus_dir}/docs_source.parquet")
-    sink = spark.read.parquet(f"{corpus_dir}/docs_sink.parquet")
+    d = docs_dir or corpus_dir
+    src = spark.read.parquet(f"{d}/docs_source.parquet")
+    sink = spark.read.parquet(f"{d}/docs_sink.parquet")
     assets = spark.read.parquet(f"{corpus_dir}/assets.parquet")
     t0 = time.monotonic()
     res = validate_docs(src, sink, assets)
@@ -113,6 +136,20 @@ def main() -> None:
     extras["n_docs"] = N_DOCS
     extras["docs_per_sec"] = round(N_DOCS / dt, 1)
     extras["validate_docs_all_reps"] = [round(t, 3) for t in times]
+
+    # the same validation over ingest-time digest companions (X2b,
+    # sources/prehashed.py) — the recommended production layout:
+    # body-free scan, byte-identical results (tests/test_prehashed.py)
+    if os.environ.get("SPARK_GRAFT_BENCH_COMPANION", "1") != "0":
+        comp_dir = _ensure_companions(spark, corpus_dir, cache_dir)
+        bench_validate_docs(spark, corpus_dir, docs_dir=comp_dir)  # warmup
+        ctimes = []
+        for _ in range(reps):
+            cdt, _info = bench_validate_docs(spark, corpus_dir, docs_dir=comp_dir)
+            ctimes.append(cdt)
+        cdt = min(ctimes)
+        queries["validate_docs_companion"] = round(cdt, 3)
+        extras["docs_per_sec_companion"] = round(N_DOCS / cdt, 1)
 
     # operator benches over the driver testdata tables
     from opengauss_tools_datachecker_performance_spark.entry_queries import QUERIES

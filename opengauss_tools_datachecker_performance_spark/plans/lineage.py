@@ -80,19 +80,26 @@ def record_partitions(
 def partition_stats(docs: DataFrame, partition_col: str = "part") -> DataFrame:
     """(part, n_rows, digest): XOR fold of span-sequence digests per
     partition — the lineage digest the ledger stores (snapshot-id
-    analogue in a real Iceberg deployment)."""
-    from opengauss_tools_datachecker_performance_spark.digest import (
-        span_sequence_hash_col,
-    )
+    analogue in a real Iceberg deployment).
 
-    return (
-        docs.select(
+    Digest-companion inputs (or validate's enriched digest frames)
+    fold their stored ``v_hash`` directly — no body scan, so the
+    ledger write and the companion staleness check both stay
+    metadata-sized."""
+    if "v_hash" in docs.columns and "spans" not in docs.columns:
+        keyed = docs.select(
+            F.col(partition_col).alias("part"), F.col("v_hash")
+        )
+    else:
+        from opengauss_tools_datachecker_performance_spark.digest import (
+            span_sequence_hash_col,
+        )
+
+        keyed = docs.select(
             F.col(partition_col).alias("part"),
             span_sequence_hash_col(F.col("spans")).alias("v_hash"),
         )
-        .groupBy("part")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.expr("bit_xor(v_hash)").alias("digest"),
-        )
+    return keyed.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(v_hash)").alias("digest"),
     )

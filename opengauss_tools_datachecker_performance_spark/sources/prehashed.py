@@ -35,7 +35,10 @@ argument, compounded: no body scan AND no shuffle).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def digest_companion_frame(docs: DataFrame, partition_col: str = "part") -> DataFrame:
@@ -80,6 +83,131 @@ def write_digest_companion(
     if path is None:
         raise ValueError("write_digest_companion needs a path or a table_name")
     frame.write.mode(mode).partitionBy("part").parquet(path)
+
+
+def update_digest_companion(
+    spark: SparkSession,
+    path: str,
+    upserts: DataFrame | None = None,
+    delete_keys: DataFrame | None = None,
+    partition_col: str = "part",
+) -> list:
+    """Incrementally maintain a ``partitionBy(part)`` companion: merge
+    re-digested rows for changed docs (``upserts``: raw docs shape)
+    and remove ``delete_keys`` (a ``key`` column), rewriting ONLY the
+    affected partitions (dynamic partition overwrite). Returns the
+    list of rewritten partition values.
+
+    This is how the companion stays fresh at 10^12 docs without a
+    rebuild: the CDC feed (sources.debezium → streaming.incremental)
+    names changed keys; re-digesting touches just those docs' bodies;
+    every untouched partition's files are left byte-identical. In an
+    Iceberg deployment the same merge is a MERGE INTO committed in the
+    writer's transaction — this file-level variant keeps the sandbox
+    path self-contained and is idempotent (re-running the same update
+    converges).
+    """
+    comp = spark.read.parquet(path)
+    new = (
+        digest_companion_frame(upserts, partition_col)
+        if upserts is not None
+        else None
+    )
+    gone_keys = None
+    if delete_keys is not None:
+        gone_keys = delete_keys.select(F.col("key").cast("string"))
+    if new is None and gone_keys is None:
+        return []
+
+    # affected partitions: where new rows land + where touched keys
+    # currently live (driver-side list — #partitions, not #rows)
+    parts = set()
+    if new is not None:
+        parts |= {r[0] for r in new.select("part").distinct().collect()}
+    touched = None
+    if gone_keys is not None:
+        touched = gone_keys
+    if new is not None:
+        upk = new.select("key")
+        touched = upk if touched is None else touched.unionByName(upk)
+    if touched is not None:
+        parts |= {
+            r[0]
+            for r in comp.join(F.broadcast(touched.distinct()), "key", "left_semi")
+            .select("part")
+            .distinct()
+            .collect()
+        }
+    if not parts:
+        return []
+
+    cur = comp.filter(F.col("part").isin(list(parts)))
+    drop = touched.distinct()
+    keep = cur.join(F.broadcast(drop), "key", "left_anti")
+    out = keep if new is None else keep.unionByName(new.select(*keep.columns))
+    # isolate the new content from the files it was computed from
+    # (Spark refuses to overwrite a path it is reading), then rewrite
+    # only the affected part= dirs
+    out = out.localCheckpoint(eager=True)
+    # dynamic overwrite only rewrites partitions PRESENT in the output:
+    # a partition whose every row was deleted must have its dir removed
+    # explicitly or stale rows would survive
+    remaining = {r[0] for r in out.select("part").distinct().collect()}
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy("part").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    import shutil
+
+    for p in parts - remaining:
+        shutil.rmtree(os.path.join(path, f"part={p}"), ignore_errors=True)
+    return sorted(parts)
+
+
+def companion_stale_partitions(
+    companion: DataFrame, reference_stats: DataFrame
+) -> DataFrame:
+    """Body-free staleness check for the derived companion state:
+    → (part, reason, companion_n_rows, reference_n_rows,
+    companion_digest, reference_digest), one row per partition whose
+    companion (row count, XOR span-sequence digest) disagrees with
+    ``reference_stats`` — either ``plans.lineage.partition_stats``
+    computed fresh off the doc table, or the ledger's recorded rows
+    (``read_ledger(...).filter(status='done')`` reduced to the latest
+    entry per part). Empty result ⇔ the companion faithfully derives
+    from the state the reference describes; any row names a partition
+    to re-ingest. The companion side folds its STORED v_hash, so the
+    check reads hashes, never bodies."""
+    from opengauss_tools_datachecker_performance_spark.plans.lineage import (
+        partition_stats,
+    )
+
+    comp = partition_stats(companion)  # enriched fast path: stored v_hash
+    ref = reference_stats.select(
+        F.col("part").cast("int"),
+        F.col("n_rows").cast("long").alias("ref_n_rows"),
+        F.col("digest").cast("long").alias("ref_digest"),
+    )
+    j = comp.join(ref, "part", "full_outer")
+    reason = (
+        F.when(F.col("n_rows").isNull(), F.lit("missing_in_companion"))
+        .when(F.col("ref_n_rows").isNull(), F.lit("missing_in_reference"))
+        .when(F.col("n_rows") != F.col("ref_n_rows"), F.lit("row_count"))
+        .when(~F.col("digest").eqNullSafe(F.col("ref_digest")), F.lit("digest"))
+    )
+    return (
+        j.select(
+            "part",
+            reason.alias("reason"),
+            F.col("n_rows").alias("companion_n_rows"),
+            F.col("ref_n_rows").alias("reference_n_rows"),
+            F.col("digest").alias("companion_digest"),
+            F.col("ref_digest").alias("reference_digest"),
+        )
+        .filter(F.col("reason").isNotNull())
+    )
 
 
 def read_digest_companion(

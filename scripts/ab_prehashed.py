@@ -50,20 +50,21 @@ def main() -> None:
     sink = spark.read.parquet(f"{corpus}/docs_sink.parquet")
     assets = spark.read.parquet(f"{corpus}/assets.parquet")
 
+    # same cache layout as bench.py's _ensure_companions (shared dir)
     comp_dir = os.path.join(REPO, ".bench_cache", f"companion_{n_docs}")
     marker = os.path.join(comp_dir, "_DONE")
     if not os.path.exists(marker):
         t0 = time.monotonic()
-        write_digest_companion(src, f"{comp_dir}/src")
-        write_digest_companion(sink, f"{comp_dir}/snk")
+        write_digest_companion(src, f"{comp_dir}/docs_source.parquet")
+        write_digest_companion(sink, f"{comp_dir}/docs_sink.parquet")
         print(f"companion build: {time.monotonic() - t0:.1f}s (one-time, at ingest)")
         with open(marker, "w") as f:
             f.write("ok")
-    csrc = spark.read.parquet(f"{comp_dir}/src")
-    csnk = spark.read.parquet(f"{comp_dir}/snk")
+    csrc = spark.read.parquet(f"{comp_dir}/docs_source.parquet")
+    csnk = spark.read.parquet(f"{comp_dir}/docs_sink.parquet")
 
     raw_b = _du(f"{corpus}/docs_source.parquet") + _du(f"{corpus}/docs_sink.parquet")
-    comp_b = _du(f"{comp_dir}/src") + _du(f"{comp_dir}/snk")
+    comp_b = _du(f"{comp_dir}/docs_source.parquet") + _du(f"{comp_dir}/docs_sink.parquet")
     print(
         f"bytes on disk: raw={raw_b / 1e6:.0f}MB companion={comp_b / 1e6:.0f}MB "
         f"({raw_b / max(comp_b, 1):.1f}x smaller scan)"

@@ -47,6 +47,9 @@ def run_bench(cpus: int, n_docs: int) -> dict:
     # scaling efficiency is judged on the flagship only — skip the
     # per-operator benches so each subprocess is pure validate reps
     env.setdefault("SPARK_GRAFT_BENCH_OPS", "0")
+    # ... and the companion-layout rep (X2b) for the same reason: the
+    # N-vs-4N pair tracks one workload, the raw-layout flagship
+    env.setdefault("SPARK_GRAFT_BENCH_COMPANION", "0")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, env=env, cwd=REPO, timeout=7200,

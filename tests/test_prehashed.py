@@ -100,6 +100,80 @@ def test_companion_partition_pruning_and_contract(spark, tmp_path):
             df.unpersist()
 
 
+def test_companion_staleness_and_incremental_update(spark, tmp_path):
+    """companion_stale_partitions is empty iff the companion derives
+    from the current doc table; update_digest_companion merges CDC
+    upserts/deletes rewriting ONLY affected part= dirs."""
+    from opengauss_tools_datachecker_performance_spark.plans.lineage import (
+        partition_stats,
+    )
+    from opengauss_tools_datachecker_performance_spark.sources.prehashed import (
+        companion_stale_partitions,
+        update_digest_companion,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    write_corpus(spark, corpus, n_docs=400, n_assets=30, n_partitions=4)
+    src = spark.read.parquet(f"{corpus}/docs_source.parquet").select(
+        "doc_id", "spans", "part"
+    )
+    comp_path = str(tmp_path / "comp")
+    write_digest_companion(src, comp_path)
+    comp = read_digest_companion(spark, comp_path)
+
+    # fresh companion: no stale partitions
+    assert companion_stale_partitions(comp, partition_stats(src)).count() == 0
+
+    # CDC batch: one doc's spans truncated (update), one doc deleted,
+    # one brand-new doc
+    two = src.orderBy("doc_id").limit(2).collect()
+    upd, dele = two[0], two[1]
+    new_docs = spark.createDataFrame(
+        [
+            (upd["doc_id"], upd["spans"][:1], upd["part"]),
+            ("brand-new-doc", upd["spans"], 2),
+        ],
+        src.schema,
+    )
+    deletes = spark.createDataFrame([(dele["doc_id"],)], "key string")
+
+    mtimes_before = {
+        d: os.path.getmtime(os.path.join(comp_path, d))
+        for d in os.listdir(comp_path)
+        if d.startswith("part=")
+    }
+    rewritten = update_digest_companion(
+        spark, comp_path, upserts=new_docs, delete_keys=deletes
+    )
+    assert set(rewritten) == {upd["part"], dele["part"], 2}
+
+    # untouched partition dirs are byte-identical (mtime unchanged)
+    for d, t in mtimes_before.items():
+        p = int(d.split("=")[1])
+        if p not in rewritten:
+            assert os.path.getmtime(os.path.join(comp_path, d)) == t
+
+    # the updated companion must derive exactly from the updated docs
+    docs_v2 = (
+        src.filter(~F.col("doc_id").isin(upd["doc_id"], dele["doc_id"]))
+        .unionByName(new_docs)
+    )
+    comp2 = read_digest_companion(spark, comp_path)
+    assert companion_stale_partitions(comp2, partition_stats(docs_v2)).count() == 0
+    # ...and disagree with the OLD doc state (the check has teeth)
+    stale = companion_stale_partitions(comp2, partition_stats(src))
+    assert {r["part"] for r in stale.collect()} == set(rewritten)
+
+    # idempotency: replaying the same CDC batch converges (the gone
+    # key no longer names a partition, so a subset rewrites)
+    again = update_digest_companion(
+        spark, comp_path, upserts=new_docs, delete_keys=deletes
+    )
+    assert set(again) <= set(rewritten)
+    comp3 = read_digest_companion(spark, comp_path)
+    assert companion_stale_partitions(comp3, partition_stats(docs_v2)).count() == 0
+
+
 def test_bucketed_companion_diff_has_no_key_exchange(spark, tmp_path):
     """Bucketed companions compound both layout wins: body-free scan
     AND a zero-Exchange consistency diff."""
