@@ -166,6 +166,85 @@ def update_digest_companion(
     return sorted(parts)
 
 
+def maintain_companion_from_cdc(
+    spark: SparkSession,
+    path: str,
+    docs_source: DataFrame,
+    cdc_rows: DataFrame,
+    partition_col: str = "part",
+) -> list:
+    """One decoded CDC batch (``key``, ``op`` [, ``ts_ms``] — the
+    output shape of sources.debezium's decoders) → companion merge.
+
+    The latest op per key wins (ts_ms order when present). Upserted
+    keys re-fetch their doc bodies from ``docs_source`` with a
+    broadcast semi-join (the CDC batch is the small side by
+    construction — S5/P6's IN-list fetch pattern); only those docs are
+    re-digested. Upsert keys NOT found in the source (deleted again
+    before this batch processed) are treated as deletes — the source
+    table is the truth. Returns the rewritten partition values."""
+    cols = ["key", "op"] + (["ts_ms"] if "ts_ms" in cdc_rows.columns else [])
+    ops = cdc_rows.select(*cols).withColumn("key", F.col("key").cast("string"))
+    if "ts_ms" in cols:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("key").orderBy(F.col("ts_ms").desc())
+        ops = (
+            ops.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "ts_ms")
+        )
+    else:
+        ops = ops.dropDuplicates(["key"])
+    up_keys = ops.filter(F.col("op") != "d").select("key").distinct()
+    del_keys = ops.filter(F.col("op") == "d").select("key").distinct()
+
+    docs = docs_source.withColumnRenamed(partition_col, "part")
+    keyed = docs.withColumn("doc_id", F.col("doc_id").cast("string"))
+    upserts = keyed.join(
+        F.broadcast(up_keys.withColumnRenamed("key", "doc_id")), "doc_id", "left_semi"
+    )
+    missing = up_keys.join(
+        keyed.select(F.col("doc_id").alias("key")), "key", "left_anti"
+    )
+    return update_digest_companion(
+        spark,
+        path,
+        upserts=upserts.select("doc_id", "spans", "part"),
+        delete_keys=del_keys.unionByName(missing),
+    )
+
+
+def companion_maintenance_stream(
+    spark: SparkSession,
+    change_stream: DataFrame,
+    path: str,
+    docs_source: DataFrame,
+    checkpoint_dir: str,
+    partition_col: str = "part",
+    trigger_seconds: int | None = None,
+):
+    """Structured-Streaming wrapper: a decoded CDC stream (key, op[,
+    ts_ms]) keeps the companion fresh, one idempotent partition-merge
+    per micro-batch (exactly-once effect: replaying a batch after a
+    crash converges to the same files). ``trigger_seconds`` None →
+    availableNow (drain-and-stop, used by tests/catch-up runs)."""
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        maintain_companion_from_cdc(
+            spark, path, docs_source, batch_df, partition_col
+        )
+
+    w = change_stream.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds is None:
+        w = w.trigger(availableNow=True)
+    else:
+        w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+    return w.start()
+
+
 def companion_stale_partitions(
     companion: DataFrame, reference_stats: DataFrame
 ) -> DataFrame:

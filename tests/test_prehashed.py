@@ -174,6 +174,81 @@ def test_companion_staleness_and_incremental_update(spark, tmp_path):
     assert companion_stale_partitions(comp3, partition_stats(docs_v2)).count() == 0
 
 
+def test_companion_cdc_maintenance_stream(spark, tmp_path):
+    """Decoded-CDC stream → companion merge: latest op per key wins,
+    upserts re-fetch bodies from the (already updated) source table,
+    a re-deleted upsert key resolves as delete, and after the stream
+    drains the companion derives exactly from the new doc state."""
+    from opengauss_tools_datachecker_performance_spark.plans.lineage import (
+        partition_stats,
+    )
+    from opengauss_tools_datachecker_performance_spark.sources.prehashed import (
+        companion_maintenance_stream,
+        companion_stale_partitions,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    write_corpus(spark, corpus, n_docs=300, n_assets=30, n_partitions=3)
+    src = spark.read.parquet(f"{corpus}/docs_source.parquet").select(
+        "doc_id", "spans", "part"
+    )
+    comp_path = str(tmp_path / "comp")
+    write_digest_companion(src, comp_path)
+
+    rows = src.orderBy("doc_id").limit(3).collect()
+    changed, removed, ghost = rows[0], rows[1], rows[2]
+    # the WRITER already applied these changes to the doc table:
+    docs_v2_path = str(tmp_path / "docs_v2")
+    (
+        src.filter(~F.col("doc_id").isin(removed["doc_id"], ghost["doc_id"]))
+        .withColumn(
+            "spans",
+            F.when(
+                F.col("doc_id") == changed["doc_id"], F.slice("spans", 1, 1)
+            ).otherwise(F.col("spans")),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [("cdc-new-doc", changed["spans"], 1)], src.schema
+            )
+        )
+        .write.parquet(docs_v2_path)
+    )
+    docs_v2 = spark.read.parquet(docs_v2_path)
+
+    # CDC feed: update(changed); removed = update then delete (latest
+    # op per key wins → delete); create(new); ghost = an upsert whose
+    # key is already gone from the source table (resolves as delete)
+    cdc_dir = str(tmp_path / "cdc")
+    # one file = one micro-batch: latest-op-per-key resolution is a
+    # within-batch contract (cross-batch ordering is the feed's job)
+    spark.createDataFrame(
+        [
+            (changed["doc_id"], "u", 100),
+            (removed["doc_id"], "u", 100),
+            (removed["doc_id"], "d", 200),
+            ("cdc-new-doc", "c", 100),
+            (ghost["doc_id"], "u", 100),
+        ],
+        "key string, op string, ts_ms long",
+    ).coalesce(1).write.parquet(cdc_dir)
+    stream = (
+        spark.readStream.schema("key string, op string, ts_ms long")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(cdc_dir)
+    )
+    q = companion_maintenance_stream(
+        spark, stream, comp_path, docs_v2, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    comp = read_digest_companion(spark, comp_path)
+    assert companion_stale_partitions(comp, partition_stats(docs_v2)).count() == 0
+    keys = {r["key"] for r in comp.select("key").collect()}
+    assert "cdc-new-doc" in keys
+    assert removed["doc_id"] not in keys and ghost["doc_id"] not in keys
+
+
 def test_bucketed_companion_diff_has_no_key_exchange(spark, tmp_path):
     """Bucketed companions compound both layout wins: body-free scan
     AND a zero-Exchange consistency diff."""
