@@ -172,6 +172,7 @@ def main() -> None:
         "ngram_jaccard_pairs",
         "simhash_near_dup",
         "embedding_near_dup",
+        "embedding_near_dup_ivf",
         "cosine_topk",
         "cosine_topk_fast",
         "ann_lsh",

@@ -846,6 +846,41 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_near_dup_ivf",
+    """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pert AS (
+      SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x * 1.001) AS v
+      FROM base WHERE vec_id % 37 = 0
+    ),
+    allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM allv a, allv b
+    WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.v, b.v) >= 0.99
+    """,
+)
+def q_embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-routed near-dup pairs
+    (operators.dedup.embedding_near_duplicates_ivf): inverted-file
+    cells instead of hyperplane buckets, same exact all-pairs oracle —
+    the gate therefore asserts 100% recall of the cell routing at this
+    scale, not just the planted copies."""
+    from opengauss_tools_datachecker_performance_spark.operators.dedup import (
+        embedding_near_duplicates_ivf,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = emb.filter(F.col("vec_id") % 37 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    out = embedding_near_duplicates_ivf(emb.unionByName(pert), threshold=0.99)
+    return out.select("id_a", "id_b")
+
+
+@query(
     "drift_quantile_profile",
     """
     WITH g AS (

@@ -522,3 +522,80 @@ def embedding_near_duplicates(
             "cos_sim"
         ),
     ).filter(F.col("cos_sim") >= threshold)
+
+
+def embedding_near_duplicates_ivf(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    quantize_scale: float = 1_000_000.0,
+    max_cell_size: int = 10_000,
+    coverage_out: dict | None = None,
+) -> DataFrame:
+    """IVF-routed cosine near-dup pairs → (id_a, id_b, cos_sim): the
+    inverted-file counterpart of the random-hyperplane route above,
+    sharing similarity.py's deterministic coarse quantizer
+    (ivf_centroids/ivf_assign — lowest-id centroids, exact integer
+    dot assignment, so an exact SQL oracle can replay the bucketing).
+
+    Candidates are pairs sharing any of each vector's ``nprobe`` best
+    cells; near-identical vectors rank their cells near-identically,
+    so probing >1 cell covers pairs that straddle a cell boundary.
+    Candidate volume is Σ |cell|²·nprobe²/|C| versus the hyperplane
+    route's band-bucket volume — prefer IVF when embeddings cluster
+    (cells equalize bucket sizes), hyperplanes when they're isotropic.
+    ``max_cell_size`` drops degenerate mega-cells with the same
+    coverage accounting as the LSH/MinHash caps (never silent —
+    callers surface the dropped count)."""
+    from opengauss_tools_datachecker_performance_spark.operators.similarity import (
+        _qz,
+        dot,
+        ivf_assign,
+        ivf_centroids,
+        norm,
+    )
+
+    v = embeddings.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("nrm", norm(F.col("vec")))
+    cent = ivf_centroids(v, "vid", "vec", n_cells, quantize_scale)
+    assigned = ivf_assign(
+        v.select("vid", F.col("vec")).withColumn(
+            "vi", _qz(F.col("vec"), quantize_scale)
+        ),
+        cent,
+        "vid",
+        nprobe,
+    ).select("vid", "cell")
+
+    sized = assigned.withColumn(
+        "cell_n", F.count(F.lit(1)).over(Window.partitionBy("cell"))
+    )
+    if coverage_out is not None:
+        coverage_out["ivf_dropped_cell_entries"] = sized.filter(
+            F.col("cell_n") > max_cell_size
+        )
+    kept = sized.filter(F.col("cell_n") <= max_cell_size)
+    a = kept.select("cell", F.col("vid").alias("id_a"))
+    b = kept.select("cell", F.col("vid").alias("id_b"))
+    cand = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    va = v.withColumnsRenamed({"vid": "id_a", "vec": "vec_a", "nrm": "nrm_a"})
+    vb = v.withColumnsRenamed({"vid": "id_b", "vec": "vec_b", "nrm": "nrm_b"})
+    scored = cand.join(va, "id_a").join(vb, "id_b")
+    return scored.select(
+        "id_a",
+        "id_b",
+        (dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b"))).alias(
+            "cos_sim"
+        ),
+    ).filter(F.col("cos_sim") >= threshold)

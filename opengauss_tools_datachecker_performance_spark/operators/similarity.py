@@ -215,6 +215,55 @@ def lsh_ann_topk(
     )
 
 
+def _qz(col: Column, quantize_scale: float) -> Column:
+    """Floor-quantize a double array to int64 — integer dot products
+    are exact (no float summation-order sensitivity), making cell
+    assignment bit-identical across engines."""
+    return F.transform(col, lambda x: F.floor(x * quantize_scale).cast("long"))
+
+
+def _dot_int(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    quantize_scale: float,
+) -> DataFrame:
+    """Deterministic coarse centroids: the ``n_cells`` lowest-id
+    corpus vectors, integer-quantized (a k-means stand-in — swap in
+    trained centroids at will). → (cell, ci)."""
+    return corpus.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).cast("int").alias("cell"),
+        _qz(F.col(vec_col).cast("array<double>"), quantize_scale).alias("ci"),
+    )
+
+
+def ivf_assign(
+    df: DataFrame, centroids: DataFrame, id_name: str, n: int
+) -> DataFrame:
+    """Assign every row (with a quantized ``vi`` column) to its ``n``
+    best cells by exact integer dot product, ties to the lowest cell
+    id. Centroids broadcast; one narrow pass over ``df``."""
+    scored = df.join(F.broadcast(centroids)).withColumn(
+        "cdot", _dot_int(F.col("vi"), F.col("ci"))
+    )
+    w = Window.partitionBy(id_name).orderBy(
+        F.col("cdot").desc(), F.col("cell").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn", "cdot", "ci", "vi")
+    )
+
+
 def ivf_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -244,44 +293,18 @@ def ivf_ann_topk(
     one narrow map pass, the candidate join shuffles by cell id (or
     broadcasts the probed query side, as here), and the corpus is
     re-read never."""
-
-    def qz(col: Column) -> Column:
-        return F.transform(col, lambda x: F.floor(x * quantize_scale).cast("long"))
-
-    def dot_int(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
-    cent = corpus.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).cast("int").alias("cell"),
-        qz(F.col(vec_col).cast("array<double>")).alias("ci"),
-    )
+    cent = ivf_centroids(corpus, id_col, vec_col, n_cells, quantize_scale)
     c = corpus.select(
         F.col(id_col).cast("long").alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("vi", qz(F.col("cv")))
+    ).withColumn("vi", _qz(F.col("cv"), quantize_scale))
     q = queries.select(
         F.col(id_col).cast("long").alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("vi", qz(F.col("qv")))
+    ).withColumn("vi", _qz(F.col("qv"), quantize_scale))
 
-    def assign(df: DataFrame, id_name: str, n: int) -> DataFrame:
-        scored = df.join(F.broadcast(cent)).withColumn(
-            "cdot", dot_int(F.col("vi"), F.col("ci"))
-        )
-        w = Window.partitionBy(id_name).orderBy(
-            F.col("cdot").desc(), F.col("cell").asc()
-        )
-        return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= n)
-            .drop("_rn", "cdot", "ci", "vi")
-        )
-
-    c_assigned = assign(c, "neighbor_id", 1)
-    q_probed = assign(q, "query_id", nprobe)
+    c_assigned = ivf_assign(c, cent, "neighbor_id", 1)
+    q_probed = ivf_assign(q, cent, "query_id", nprobe)
     scored = (
         c_assigned.join(F.broadcast(q_probed), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -289,6 +289,39 @@ def companion_stale_partitions(
     )
 
 
+def repair_companion(
+    spark: SparkSession,
+    path: str,
+    docs_source: DataFrame,
+    parts: list,
+    partition_col: str = "part",
+) -> list:
+    """Remediation for :func:`companion_stale_partitions` hits:
+    re-derive the named partitions from the doc table (the only time
+    bodies are read — and only the stale partitions' bodies).
+    Partitions with no doc rows anymore have their dirs removed.
+    Returns the repaired partition values."""
+    if not parts:
+        return []
+    docs = docs_source.withColumnRenamed(partition_col, "part").filter(
+        F.col("part").isin(list(parts))
+    )
+    frame = digest_companion_frame(docs)
+    present = {r[0] for r in frame.select("part").distinct().collect()}
+    if present:
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            frame.write.mode("overwrite").partitionBy("part").parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    import shutil
+
+    for p in set(parts) - present:
+        shutil.rmtree(os.path.join(path, f"part={p}"), ignore_errors=True)
+    return sorted(parts)
+
+
 def read_digest_companion(
     spark: SparkSession, ref: str
 ) -> DataFrame:

@@ -239,3 +239,32 @@ def test_resize_media_stub_and_strict(spark):
     assert all(r["out_bytes"] == 8 for r in short)
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         resize_media(synth_payloads(cat), strict=True).collect()
+
+
+def test_embedding_near_dup_ivf_finds_planted_scaled_dups(spark):
+    """IVF-routed near-dup must recover exactly-scaled duplicates
+    (scaling preserves the integer-dot cell ranking up to quantization,
+    and nprobe=2 covers boundary straddles) with equi-joins only."""
+    import math
+
+    from opengauss_tools_datachecker_performance_spark.operators.dedup import (
+        embedding_near_duplicates_ivf,
+    )
+
+    dims = 64
+    base = [
+        (i, [math.sin(i * 37.0 + d) for d in range(dims)]) for i in range(40)
+    ]
+    scaled = [(i + 1000, [x * 1.001 for x in v]) for i, v in base if i % 5 == 0]
+    df = spark.createDataFrame(base + scaled, "vid long, emb array<double>")
+    out = embedding_near_duplicates_ivf(
+        df, id_col="vid", vec_col="emb", threshold=0.99
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert {(i, i + 1000) for i, _ in base if i % 5 == 0} <= pairs
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the only non-equi join allowed is the bounded n_cells-row
+    # centroid broadcast of the assignment pass (ann_ivf's pattern);
+    # the candidate pair join must be a cell equi-join
+    assert "hashpartitioning(cell" in plan or "BroadcastHashJoin [cell" in plan

@@ -29,7 +29,15 @@ ALLOW_ARROW = {
 #: assignment pass; drift_quantile_profile cross-joins the ONE-row
 #: global-quantile aggregate into the per-group frame. Everything else
 #: must stay equi-join only.
-ALLOW_BNLJ = {"cosine_topk", "ann_ivf", "drift_quantile_profile"}
+#: embedding_near_dup_ivf shares ann_ivf's centroid broadcast (its
+#: candidate pair join itself is a cell equi-join — see the targeted
+#: assertion in test_operators_wave3)
+ALLOW_BNLJ = {
+    "cosine_topk",
+    "ann_ivf",
+    "drift_quantile_profile",
+    "embedding_near_dup_ivf",
+}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

@@ -174,6 +174,54 @@ def test_companion_staleness_and_incremental_update(spark, tmp_path):
     assert companion_stale_partitions(comp3, partition_stats(docs_v2)).count() == 0
 
 
+def test_repair_companion_rederives_stale_partitions(spark, tmp_path):
+    """audit → repair loop: corrupt the companion two ways (dropped
+    partition + drifted partition), repair_companion re-derives
+    exactly the flagged partitions and the audit comes back clean."""
+    import shutil
+
+    from opengauss_tools_datachecker_performance_spark.plans.lineage import (
+        partition_stats,
+    )
+    from opengauss_tools_datachecker_performance_spark.sources.prehashed import (
+        companion_stale_partitions,
+        repair_companion,
+        update_digest_companion,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    write_corpus(spark, corpus, n_docs=300, n_assets=30, n_partitions=3)
+    src = spark.read.parquet(f"{corpus}/docs_source.parquet").select(
+        "doc_id", "spans", "part"
+    )
+    comp_path = str(tmp_path / "comp")
+    write_digest_companion(src, comp_path)
+
+    # corruption 1: a whole partition dir lost
+    shutil.rmtree(os.path.join(comp_path, "part=0"))
+    # corruption 2: a doc deleted from the companion but not the table
+    victim = src.filter(F.col("part") == 1).select("doc_id").first()[0]
+    update_digest_companion(
+        spark, comp_path,
+        delete_keys=spark.createDataFrame([(victim,)], "key string"),
+    )
+
+    stats = partition_stats(src)
+    comp = read_digest_companion(spark, comp_path)
+    stale = companion_stale_partitions(comp, stats).collect()
+    assert {(r["part"], r["reason"]) for r in stale} == {
+        (0, "missing_in_companion"),
+        (1, "row_count"),
+    }
+
+    repaired = repair_companion(
+        spark, comp_path, src, [r["part"] for r in stale]
+    )
+    assert repaired == [0, 1]
+    comp2 = read_digest_companion(spark, comp_path)
+    assert companion_stale_partitions(comp2, stats).count() == 0
+
+
 def test_companion_cdc_maintenance_stream(spark, tmp_path):
     """Decoded-CDC stream → companion merge: latest op per key wins,
     upserts re-fetch bodies from the (already updated) source table,
