@@ -52,12 +52,19 @@ def _ensure_corpus(spark, cache_dir: str) -> str:
     return out
 
 
-def _ensure_companions(spark, corpus_dir: str, cache_dir: str) -> str:
+def _ensure_companions(
+    spark, corpus_dir: str, cache_dir: str, n_docs: int | None = None
+) -> str:
     """Build-and-cache digest companions for the bench corpus (the
-    one-time ingest cost of the X2b production layout)."""
-    comp_dir = os.path.join(cache_dir, f"companion_{N_DOCS}")
+    one-time ingest cost of the X2b production layout). The cache is
+    keyed to the corpus build it derives from (the corpus _DONE
+    marker's mtime) — a regenerated corpus invalidates the companion,
+    otherwise the bench would diff OLD-corpus digests against the new
+    corpus and record bogus numbers."""
+    comp_dir = os.path.join(cache_dir, f"companion_{n_docs or N_DOCS}")
     marker = os.path.join(comp_dir, "_DONE")
-    if not os.path.exists(marker):
+    stamp = str(os.path.getmtime(os.path.join(corpus_dir, "_DONE")))
+    if not (os.path.exists(marker) and open(marker).read() == stamp):
         from opengauss_tools_datachecker_performance_spark.sources.prehashed import (
             write_digest_companion,
         )
@@ -68,7 +75,7 @@ def _ensure_companions(spark, corpus_dir: str, cache_dir: str) -> str:
                 os.path.join(comp_dir, f"{side}.parquet"),
             )
         with open(marker, "w") as f:
-            f.write("ok")
+            f.write(stamp)
     return comp_dir
 
 

@@ -21,7 +21,7 @@ _ANN_IVF_SQL = f"""
       SELECT vec_id AS cell,
              list_transform(embedding::DOUBLE[],
                             x -> CAST(floor(x * {_QSCALE}) AS BIGINT)) AS ci
-      FROM embeddings WHERE vec_id < {_N_CELLS}
+      FROM embeddings ORDER BY vec_id LIMIT {_N_CELLS}
     ),
     v AS (
       SELECT vec_id, embedding::DOUBLE[] AS ev,

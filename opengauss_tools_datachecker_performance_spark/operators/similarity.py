@@ -237,12 +237,28 @@ def ivf_centroids(
     quantize_scale: float,
 ) -> DataFrame:
     """Deterministic coarse centroids: the ``n_cells`` lowest-id
-    corpus vectors, integer-quantized (a k-means stand-in — swap in
-    trained centroids at will). → (cell, ci)."""
-    return corpus.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).cast("int").alias("cell"),
-        _qz(F.col(vec_col).cast("array<double>"), quantize_scale).alias("ci"),
+    corpus vectors — TakeOrdered, so ANY id range works (ids starting
+    at 10^6 or sparse ids yield full centroid sets, not the silent
+    empty frame a ``id < n_cells`` filter would give) — integer-
+    quantized (a k-means stand-in; swap in trained centroids at will).
+    → (cell, ci). Fails fast if no usable centroid exists (the cost is
+    one extra ≤n_cells-row TakeOrdered pass — the never-silent-empty
+    contract of the dedup/ANN family)."""
+    cent = (
+        corpus.filter(F.col(id_col).isNotNull())
+        .orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(
+            F.col(id_col).cast("long").alias("cell"),
+            _qz(F.col(vec_col).cast("array<double>"), quantize_scale).alias("ci"),
+        )
     )
+    if not cent.limit(1).count():
+        raise ValueError(
+            "ivf_centroids: no non-null ids in the corpus — cell routing "
+            "would silently return zero candidates"
+        )
+    return cent
 
 
 def ivf_assign(

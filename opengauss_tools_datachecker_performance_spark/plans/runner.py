@@ -200,27 +200,26 @@ def validate_docs(
         docs_sink = docs_sink.withColumnRenamed(partition_col, "part")
 
     # --- schema pre-check: failure excludes data checks (ref §3.2).
-    # Digest-companion inputs (ENRICHED_COLS) are checked against the
-    # companion contract instead of the raw docs schema.
-    if is_enriched(docs_source) and (
-        docs_sink is None or is_enriched(docs_sink)
-    ):
-        want = enriched_schema(spark)
-        sres = check_schema(
-            docs_source.select(*ENRICHED_COLS), want, check_types=True
-        )
-        if sres.equal and docs_sink is not None:
-            sres = check_schema(
-                docs_sink.select(*ENRICHED_COLS), want, check_types=True
+    # Each side is checked against ITS OWN contract (digest companions
+    # against ENRICHED_COLS, raw docs against DOCS_SCHEMA), so a
+    # companion source can be diffed against a raw sink and vice versa
+    # — _enriched_digests normalizes each input independently.
+    def _precheck(df: DataFrame):
+        if is_enriched(df):
+            return check_schema(
+                df.select(*ENRICHED_COLS), enriched_schema(spark), check_types=True
             )
-    else:
-        present = {f.name for f in docs_source.schema.fields}
+        present = {f.name for f in df.schema.fields}
         probe_cols = [f.name for f in DOCS_SCHEMA.fields if f.name in present]
-        sres = check_schema(
-            docs_source.select(*probe_cols) if probe_cols else docs_source.limit(0),
+        return check_schema(
+            df.select(*probe_cols) if probe_cols else df.limit(0),
             DOCS_SCHEMA,
             check_types=True,
         )
+
+    sres = _precheck(docs_source)
+    if sres.equal and docs_sink is not None:
+        sres = _precheck(docs_sink)
     if only_partitions is not None:
         docs_source = docs_source.filter(F.col("part").isin(only_partitions))
         if docs_sink is not None:

@@ -183,12 +183,16 @@ def decode_debezium_avro_binary(
                     F.col("table_name").isNotNull() & F.col("key").isNotNull()
                 )
             except Exception as e:
-                # ONLY a missing spark-avro jar may swap decode engines
-                # (AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE); any other
-                # analysis error (malformed reader schema, wrong column)
-                # is a real bug the caller must see, not silently decode
-                # around with a different engine.
-                if "AVRO_NOT_LOADED" not in str(e):
+                # ONLY a missing spark-avro jar may swap decode engines:
+                # AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE (Spark >=3.5's
+                # error class) or py4j's "'JavaPackage' object is not
+                # callable" (older pyspark where the scala object never
+                # materialized). Any other analysis error (malformed
+                # reader schema, wrong column) is a real bug the caller
+                # must see, not silently decode around with a different
+                # engine.
+                msg = str(e)
+                if "AVRO_NOT_LOADED" not in msg and "JavaPackage" not in msg:
                     raise
 
     # self-contained codec: decode with the CALLER'S schema when one was

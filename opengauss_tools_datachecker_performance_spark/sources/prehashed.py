@@ -108,62 +108,85 @@ def update_digest_companion(
     converges).
     """
     comp = spark.read.parquet(path)
+    # persist: the re-digested upsert frame feeds THREE actions below
+    # (affected-part discovery, touched-key semi-join, final write) —
+    # without it each action would re-read + re-digest the upsert doc
+    # bodies, the exact I/O this function exists to minimize
     new = (
-        digest_companion_frame(upserts, partition_col)
+        digest_companion_frame(upserts, partition_col).persist()
         if upserts is not None
         else None
     )
-    gone_keys = None
-    if delete_keys is not None:
-        gone_keys = delete_keys.select(F.col("key").cast("string"))
-    if new is None and gone_keys is None:
-        return []
-
-    # affected partitions: where new rows land + where touched keys
-    # currently live (driver-side list — #partitions, not #rows)
-    parts = set()
-    if new is not None:
-        parts |= {r[0] for r in new.select("part").distinct().collect()}
-    touched = None
-    if gone_keys is not None:
-        touched = gone_keys
-    if new is not None:
-        upk = new.select("key")
-        touched = upk if touched is None else touched.unionByName(upk)
-    if touched is not None:
-        parts |= {
-            r[0]
-            for r in comp.join(F.broadcast(touched.distinct()), "key", "left_semi")
-            .select("part")
-            .distinct()
-            .collect()
-        }
-    if not parts:
-        return []
-
-    cur = comp.filter(F.col("part").isin(list(parts)))
-    drop = touched.distinct()
-    keep = cur.join(F.broadcast(drop), "key", "left_anti")
-    out = keep if new is None else keep.unionByName(new.select(*keep.columns))
-    # isolate the new content from the files it was computed from
-    # (Spark refuses to overwrite a path it is reading), then rewrite
-    # only the affected part= dirs
-    out = out.localCheckpoint(eager=True)
-    # dynamic overwrite only rewrites partitions PRESENT in the output:
-    # a partition whose every row was deleted must have its dir removed
-    # explicitly or stale rows would survive
-    remaining = {r[0] for r in out.select("part").distinct().collect()}
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        out.write.mode("overwrite").partitionBy("part").parquet(path)
+        gone_keys = None
+        if delete_keys is not None:
+            gone_keys = delete_keys.select(F.col("key").cast("string"))
+        if new is None and gone_keys is None:
+            return []
+
+        # affected partitions: where new rows land + where touched keys
+        # currently live (driver-side list — #partitions, not #rows)
+        parts = set()
+        if new is not None:
+            parts |= {r[0] for r in new.select("part").distinct().collect()}
+        touched = None
+        if gone_keys is not None:
+            touched = gone_keys
+        if new is not None:
+            upk = new.select("key")
+            touched = upk if touched is None else touched.unionByName(upk)
+        if touched is not None:
+            parts |= {
+                r[0]
+                for r in comp.join(
+                    F.broadcast(touched.distinct()), "key", "left_semi"
+                )
+                .select("part")
+                .distinct()
+                .collect()
+            }
+        if not parts:
+            return []
+
+        cur = comp.filter(F.col("part").isin(list(parts)))
+        drop = touched.distinct()
+        keep = cur.join(F.broadcast(drop), "key", "left_anti")
+        out = keep if new is None else keep.unionByName(new.select(*keep.columns))
+        # isolate the new content from the files it is computed from
+        # (Spark refuses to overwrite a path it is reading)
+        out = out.localCheckpoint(eager=True)
+        _overwrite_partitions(spark, out, path, parts)
+        return sorted(parts)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        if new is not None:
+            new.unpersist()
+
+
+def _overwrite_partitions(
+    spark: SparkSession, frame: DataFrame, path: str, expected_parts: set
+) -> None:
+    """Rewrite exactly ``expected_parts``' part= dirs with ``frame``'s
+    rows. Dynamic overwrite only rewrites partitions PRESENT in the
+    output, so an expected partition the frame emptied must have its
+    dir removed explicitly or stale rows would survive."""
+    frame = frame.persist()
+    try:
+        remaining = {r[0] for r in frame.select("part").distinct().collect()}
+        if remaining:
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                frame.write.mode("overwrite").partitionBy("part").parquet(path)
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    finally:
+        frame.unpersist()
     import shutil
 
-    for p in parts - remaining:
+    for p in set(expected_parts) - remaining:
         shutil.rmtree(os.path.join(path, f"part={p}"), ignore_errors=True)
-    return sorted(parts)
 
 
 def maintain_companion_from_cdc(
@@ -172,30 +195,50 @@ def maintain_companion_from_cdc(
     docs_source: DataFrame,
     cdc_rows: DataFrame,
     partition_col: str = "part",
+    table_name: str | None = None,
 ) -> list:
-    """One decoded CDC batch (``key``, ``op`` [, ``ts_ms``] — the
-    output shape of sources.debezium's decoders) → companion merge.
+    """One decoded CDC batch (``key``, ``op`` [, ``ts_ms``,
+    ``table_name``] — the output shape of sources.debezium's decoders)
+    → companion merge.
 
-    The latest op per key wins (ts_ms order when present). Upserted
-    keys re-fetch their doc bodies from ``docs_source`` with a
-    broadcast semi-join (the CDC batch is the small side by
-    construction — S5/P6's IN-list fetch pattern); only those docs are
-    re-digested. Upsert keys NOT found in the source (deleted again
-    before this batch processed) are treated as deletes — the source
-    table is the truth. Returns the rewritten partition values."""
+    The latest op per key wins (ts_ms desc); ties — same-millisecond
+    ops, or no ts_ms at all — resolve deterministically TOWARD upsert,
+    because the upsert path re-reads the source table (the truth): a
+    key whose doc is gone resolves to delete anyway via the missing
+    path below, so the tie rule self-corrects, whereas a delete-wins
+    tie could drop a live doc's row. Upserted keys re-fetch their doc
+    bodies from ``docs_source`` with a broadcast semi-join (the CDC
+    batch is the small side by construction — S5/P6's IN-list fetch
+    pattern); only those docs are re-digested. Returns the rewritten
+    partition values.
+
+    A multi-table feed MUST name the companion's table: rows from
+    other tables sharing key values would otherwise delete/rewrite
+    this companion's rows."""
+    if "table_name" in cdc_rows.columns:
+        if table_name is None:
+            raise ValueError(
+                "CDC feed carries table_name — pass table_name= so other "
+                "tables' ops don't corrupt this companion"
+            )
+        cdc_rows = cdc_rows.filter(F.col("table_name") == table_name)
+    elif table_name is not None:
+        raise ValueError("table_name given but the CDC feed has no such column")
     cols = ["key", "op"] + (["ts_ms"] if "ts_ms" in cdc_rows.columns else [])
     ops = cdc_rows.select(*cols).withColumn("key", F.col("key").cast("string"))
-    if "ts_ms" in cols:
-        from pyspark.sql.window import Window
+    from pyspark.sql.window import Window
 
-        w = Window.partitionBy("key").orderBy(F.col("ts_ms").desc())
-        ops = (
-            ops.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", "ts_ms")
-        )
-    else:
-        ops = ops.dropDuplicates(["key"])
+    ts = F.col("ts_ms") if "ts_ms" in cols else F.lit(0)
+    w = Window.partitionBy("key").orderBy(
+        ts.desc(),
+        (F.col("op") == "d").asc(),  # ties: upsert first (self-correcting)
+        F.col("op").asc(),
+    )
+    ops = (
+        ops.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("key", "op")
+    )
     up_keys = ops.filter(F.col("op") != "d").select("key").distinct()
     del_keys = ops.filter(F.col("op") == "d").select("key").distinct()
 
@@ -223,16 +266,19 @@ def companion_maintenance_stream(
     checkpoint_dir: str,
     partition_col: str = "part",
     trigger_seconds: int | None = None,
+    table_name: str | None = None,
 ):
     """Structured-Streaming wrapper: a decoded CDC stream (key, op[,
-    ts_ms]) keeps the companion fresh, one idempotent partition-merge
-    per micro-batch (exactly-once effect: replaying a batch after a
-    crash converges to the same files). ``trigger_seconds`` None →
-    availableNow (drain-and-stop, used by tests/catch-up runs)."""
+    ts_ms, table_name]) keeps the companion fresh, one idempotent
+    partition-merge per micro-batch (exactly-once effect: replaying a
+    batch after a crash converges to the same files).
+    ``trigger_seconds`` None → availableNow (drain-and-stop, used by
+    tests/catch-up runs); ``table_name`` is required when the feed is
+    multi-table (see maintain_companion_from_cdc)."""
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         maintain_companion_from_cdc(
-            spark, path, docs_source, batch_df, partition_col
+            spark, path, docs_source, batch_df, partition_col, table_name
         )
 
     w = change_stream.writeStream.foreachBatch(_batch).option(
@@ -306,19 +352,7 @@ def repair_companion(
     docs = docs_source.withColumnRenamed(partition_col, "part").filter(
         F.col("part").isin(list(parts))
     )
-    frame = digest_companion_frame(docs)
-    present = {r[0] for r in frame.select("part").distinct().collect()}
-    if present:
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            frame.write.mode("overwrite").partitionBy("part").parquet(path)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    import shutil
-
-    for p in set(parts) - present:
-        shutil.rmtree(os.path.join(path, f"part={p}"), ignore_errors=True)
+    _overwrite_partitions(spark, digest_companion_frame(docs), path, set(parts))
     return sorted(parts)
 
 

@@ -20,12 +20,10 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+from bench import _ensure_companions  # noqa: E402  (shared cache protocol)
 from opengauss_tools_datachecker_performance_spark import get_spark  # noqa: E402
 from opengauss_tools_datachecker_performance_spark.plans.runner import (  # noqa: E402
     validate_docs,
-)
-from opengauss_tools_datachecker_performance_spark.sources.prehashed import (  # noqa: E402
-    write_digest_companion,
 )
 
 
@@ -50,16 +48,13 @@ def main() -> None:
     sink = spark.read.parquet(f"{corpus}/docs_sink.parquet")
     assets = spark.read.parquet(f"{corpus}/assets.parquet")
 
-    # same cache layout as bench.py's _ensure_companions (shared dir)
-    comp_dir = os.path.join(REPO, ".bench_cache", f"companion_{n_docs}")
-    marker = os.path.join(comp_dir, "_DONE")
-    if not os.path.exists(marker):
-        t0 = time.monotonic()
-        write_digest_companion(src, f"{comp_dir}/docs_source.parquet")
-        write_digest_companion(sink, f"{comp_dir}/docs_sink.parquet")
-        print(f"companion build: {time.monotonic() - t0:.1f}s (one-time, at ingest)")
-        with open(marker, "w") as f:
-            f.write("ok")
+    t0 = time.monotonic()
+    comp_dir = _ensure_companions(
+        spark, corpus, os.path.join(REPO, ".bench_cache"), n_docs
+    )
+    built = time.monotonic() - t0
+    if built > 5:
+        print(f"companion build: {built:.1f}s (one-time, at ingest)")
     csrc = spark.read.parquet(f"{comp_dir}/docs_source.parquet")
     csnk = spark.read.parquet(f"{comp_dir}/docs_sink.parquet")
 

@@ -174,6 +174,29 @@ def test_companion_staleness_and_incremental_update(spark, tmp_path):
     assert companion_stale_partitions(comp3, partition_stats(docs_v2)).count() == 0
 
 
+def test_cli_accepts_companion_tables(spark, tmp_path):
+    """The production entrypoint runs end-to-end on companion inputs —
+    --source/--sink pointing at digest companions validates body-free
+    with the same report layout."""
+    import json
+
+    from opengauss_tools_datachecker_performance_spark.__main__ import main
+
+    corpus = str(tmp_path / "corpus")
+    write_corpus(spark, corpus, n_docs=300, n_assets=30, n_partitions=2)
+    csrc, csnk = str(tmp_path / "csrc"), str(tmp_path / "csnk")
+    write_digest_companion(spark.read.parquet(f"{corpus}/docs_source.parquet"), csrc)
+    write_digest_companion(spark.read.parquet(f"{corpus}/docs_sink.parquet"), csnk)
+    report = str(tmp_path / "report")
+    rc = main(
+        ["--source", csrc, "--sink", csnk, "--report-dir", report],
+        spark=spark,
+    )
+    assert rc == 1  # seeded violations still fail the run, body-free
+    summary = json.load(open(os.path.join(report, "summary.json")))
+    assert summary["constraints"]["consistency"]["n_violations"] > 0
+
+
 def test_repair_companion_rederives_stale_partitions(spark, tmp_path):
     """audit → repair loop: corrupt the companion two ways (dropped
     partition + drifted partition), repair_companion re-derives
@@ -295,6 +318,72 @@ def test_companion_cdc_maintenance_stream(spark, tmp_path):
     keys = {r["key"] for r in comp.select("key").collect()}
     assert "cdc-new-doc" in keys
     assert removed["doc_id"] not in keys and ghost["doc_id"] not in keys
+
+
+def test_companion_cdc_multi_table_and_ties(spark, tmp_path):
+    """Multi-table feeds must be filtered to this companion's table
+    (foreign rows with colliding keys would corrupt it), and
+    same-timestamp update+delete ties resolve toward upsert —
+    self-correcting, because the source table is the truth."""
+    import pytest
+
+    from opengauss_tools_datachecker_performance_spark.plans.lineage import (
+        partition_stats,
+    )
+    from opengauss_tools_datachecker_performance_spark.sources.prehashed import (
+        companion_stale_partitions,
+        maintain_companion_from_cdc,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    write_corpus(spark, corpus, n_docs=200, n_assets=20, n_partitions=2)
+    src = spark.read.parquet(f"{corpus}/docs_source.parquet").select(
+        "doc_id", "spans", "part"
+    )
+    comp_path = str(tmp_path / "comp")
+    write_digest_companion(src, comp_path)
+    live = src.select("doc_id").first()[0]
+
+    # a foreign table's delete for a colliding key + a same-ts u/d tie
+    # for a LIVE doc of ours: nothing in OUR companion may change
+    cdc = spark.createDataFrame(
+        [
+            (live, "d", 100, "other_table"),
+            (live, "u", 100, "docs"),
+            (live, "d", 100, "docs"),
+        ],
+        "key string, op string, ts_ms long, table_name string",
+    )
+    with pytest.raises(ValueError, match="table_name"):
+        maintain_companion_from_cdc(spark, comp_path, src, cdc)
+    maintain_companion_from_cdc(spark, comp_path, src, cdc, table_name="docs")
+    comp = read_digest_companion(spark, comp_path)
+    assert companion_stale_partitions(comp, partition_stats(src)).count() == 0
+    assert comp.filter(F.col("key") == live).count() == 1
+
+
+def test_ivf_near_dup_works_with_sparse_high_ids(spark):
+    """Centroid choice is the n_cells LOWEST ids, not ids < n_cells:
+    a corpus whose ids start at 10^6 must still route and recover its
+    planted duplicates (was: silent zero-pair result)."""
+    import math
+
+    from opengauss_tools_datachecker_performance_spark.operators.dedup import (
+        embedding_near_duplicates_ivf,
+    )
+
+    dims = 16
+    base = [
+        (1_000_000 + i * 7, [math.sin(i * 13.0 + d) for d in range(dims)])
+        for i in range(30)
+    ]
+    scaled = [(vid + 500_000, [x * 1.001 for x in v]) for vid, v in base[::5]]
+    df = spark.createDataFrame(base + scaled, "vid long, emb array<double>")
+    out = embedding_near_duplicates_ivf(
+        df, id_col="vid", vec_col="emb", threshold=0.99, n_cells=4
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert {(vid, vid + 500_000) for vid, _ in base[::5]} <= pairs
 
 
 def test_bucketed_companion_diff_has_no_key_exchange(spark, tmp_path):
