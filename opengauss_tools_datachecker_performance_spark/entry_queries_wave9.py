@@ -1,0 +1,171 @@
+"""Driver-contract query catalog, wave 9: near-dup cluster resolution.
+
+The pair-emitting dedup operators (minhash / ngram / simhash /
+embedding) stop at candidate pairs; a real training-data pipeline must
+then DECIDE — group the pairs into duplicate clusters and keep one
+survivor per cluster. Two oracle-checked entries close that gap:
+
+* ``near_dup_clusters`` — exact n-gram Jaccard pairs over documents
+  with a planted two-hop duplicate CHAIN (orig → +200000 → +400000),
+  resolved into components by operators.components.connected_components
+  (alternating large-star/small-star, Kiveris et al. SoCC'14). The
+  chain forces transitivity: orig and its second-hop copy may share no
+  qualifying pair yet must land in one cluster. The DuckDB oracle
+  computes the same closure with a recursive CTE.
+* ``dedup_survivors`` — one survivor per cluster (longest text, ties
+  to the smallest id) + member counts, the actual keep/drop decision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from opengauss_tools_datachecker_performance_spark.entry_queries import (
+    _SQL_NORM,
+    _SQL_PHASH,
+    _SQL_SHINGLES,
+    _SQL_WS_TOKS,
+    _t,
+    query,
+)
+
+_SUFFIX1 = " extra near duplicate suffix words appended here tail"
+_SUFFIX2 = " second hop chain extension tokens"
+
+#: documents ∪ first-hop copies (+200000, suffix1) ∪ second-hop copies
+#: (+400000, suffix1+suffix2) — a planted duplicate chain per %11 doc.
+_SQL_DOCS_CHAIN = f"""
+    docs2 AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+      UNION ALL
+      SELECT CAST(doc_id + 200000 AS VARCHAR), text || '{_SUFFIX1}'
+      FROM documents WHERE doc_id % 11 = 0
+      UNION ALL
+      SELECT CAST(doc_id + 400000 AS VARCHAR), text || '{_SUFFIX1}' || '{_SUFFIX2}'
+      FROM documents WHERE doc_id % 11 = 0
+    )
+"""
+
+#: exact n-gram Jaccard pairs ≥ 0.3 over docs2 (same pipeline the
+#: green ngram_jaccard_pairs oracle uses), then the component closure
+#: as a recursive CTE: reach(id, r) = "node r reaches node id";
+#: component = min reachable id (graph symmetrized, so min member).
+_SQL_CLUSTERS_CTE = f"""
+    norm AS (
+      SELECT doc_id, {_SQL_WS_TOKS.format(t=_SQL_NORM.format(t='text'))} AS toks FROM docs2
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform({_SQL_SHINGLES}, s -> {_SQL_PHASH.format(x='s')})) AS shset
+      FROM norm
+    ),
+    inv AS (SELECT doc_id, unnest(shset) AS sh FROM sh),
+    freq_ok AS (SELECT sh FROM inv GROUP BY sh HAVING COUNT(*) <= 100),
+    inv2 AS (SELECT inv.* FROM inv JOIN freq_ok USING (sh)),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM inv2 a JOIN inv2 b USING (sh)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM shared
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+      WHERE shared::DOUBLE / (len(sa.shset) + len(sb.shset) - shared) >= 0.3
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT u AS id, u AS r FROM (SELECT DISTINCT u FROM edges) t
+      UNION
+      SELECT e.v AS id, reach.r FROM reach JOIN edges e ON e.u = reach.id
+    ),
+    lab AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+"""
+
+
+def _docs_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    base = d.filter(F.col("doc_id").cast("long") % 11 == 0)
+    c1 = base.select(
+        (F.col("doc_id").cast("long") + 200000).cast("string").alias("doc_id"),
+        F.concat("text", F.lit(_SUFFIX1)).alias("text"),
+    )
+    c2 = base.select(
+        (F.col("doc_id").cast("long") + 400000).cast("string").alias("doc_id"),
+        F.concat("text", F.lit(_SUFFIX1), F.lit(_SUFFIX2)).alias("text"),
+    )
+    return d.unionByName(c1).unionByName(c2)
+
+
+def _cluster_labels(spark: SparkSession, sf_dir: str):
+    from opengauss_tools_datachecker_performance_spark.operators.components import (
+        connected_components,
+    )
+    from opengauss_tools_datachecker_performance_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs2 = _docs_chain(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs2, "doc_id", "text", threshold=0.3)
+    return connected_components(pairs), docs2
+
+
+@query(
+    "near_dup_clusters",
+    f"""
+    WITH RECURSIVE {_SQL_DOCS_CHAIN}, {_SQL_CLUSTERS_CTE}
+    SELECT id AS doc_id, component,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size
+    FROM lab
+    """,
+)
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate clusters via large-star/small-star
+    connected components (operators/components.py). Planted two-hop
+    chains make the closure non-trivial: transitive membership, not
+    just pair mirroring."""
+    labels, _ = _cluster_labels(spark, sf_dir)
+    wc = Window.partitionBy("component")
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        F.count(F.lit(1)).over(wc).cast("long").alias("cluster_size"),
+    )
+
+
+@query(
+    "dedup_survivors",
+    f"""
+    WITH RECURSIVE {_SQL_DOCS_CHAIN}, {_SQL_CLUSTERS_CTE},
+    surv AS (
+      SELECT l.component, l.id, len(d.text) AS text_len,
+             row_number() OVER (PARTITION BY l.component
+                                ORDER BY len(d.text) DESC, l.id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY l.component) AS n_members
+      FROM lab l JOIN docs2 d ON d.doc_id = l.id
+    )
+    SELECT component, id AS survivor_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(text_len AS BIGINT) AS survivor_len
+    FROM surv WHERE rn = 1
+    """,
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop decision per duplicate cluster
+    (operators.components.dedup_survivors): longest text survives,
+    ties to the smallest id — deterministic on both engines."""
+    from opengauss_tools_datachecker_performance_spark.operators.components import (
+        dedup_survivors,
+    )
+
+    labels, docs2 = _cluster_labels(spark, sf_dir)
+    return dedup_survivors(labels, docs2)
