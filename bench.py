@@ -177,6 +177,7 @@ def main() -> None:
         "dedup_exact",
         "minhash_near_dup",
         "ngram_jaccard_pairs",
+        "near_dup_clusters",
         "simhash_near_dup",
         "embedding_near_dup",
         "embedding_near_dup_ivf",

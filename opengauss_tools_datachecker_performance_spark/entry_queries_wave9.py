@@ -26,6 +26,7 @@ from opengauss_tools_datachecker_performance_spark.entry_queries import (
     _SQL_PHASH,
     _SQL_SHINGLES,
     _SQL_WS_TOKS,
+    _sql_minhash_array,
     _t,
     query,
 )
@@ -169,3 +170,84 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     labels, docs2 = _cluster_labels(spark, sf_dir)
     return dedup_survivors(labels, docs2)
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup: persisted MinHash index vs a new batch
+# ---------------------------------------------------------------------------
+
+_MINHASH_INCREMENTAL_SQL = f"""
+    WITH docs2 AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+      UNION ALL
+      SELECT CAST(doc_id + 500000 AS VARCHAR), text || '{_SUFFIX1}'
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    norm AS (
+      SELECT doc_id, {_SQL_WS_TOKS.format(t=_SQL_NORM.format(t='text'))} AS toks FROM docs2
+    ),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM norm),
+    sig0 AS (
+      SELECT doc_id,
+             list_distinct(list_transform(shingles, s -> {_SQL_PHASH.format(x='s')})) AS shset
+      FROM sh
+    ),
+    sig AS (SELECT doc_id, shset, {{mh}} AS mh FROM sig0),
+    buckets AS (
+      SELECT doc_id, b.band,
+             ('0x' || substr(md5(mh[b.band*2+1]::VARCHAR || ',' || mh[b.band*2+2]::VARCHAR), 1, 15))::BIGINT AS band_key
+      FROM sig, (SELECT unnest([0,1,2,3]) AS band) b
+    ),
+    capped AS (
+      SELECT * FROM buckets
+      QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= 50
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM capped a JOIN capped c USING (band, band_key)
+      WHERE a.doc_id < c.doc_id
+        AND (CAST(a.doc_id AS BIGINT) >= 500000 OR CAST(c.doc_id AS BIGINT) >= 500000)
+    )
+    SELECT cand.id_a, cand.id_b,
+           CAST(CAST(round(len(list_intersect(sa.shset, sb.shset))::DOUBLE
+                 / len(list_distinct(list_concat(sa.shset, sb.shset))), 6) AS DECIMAL(10,6)) AS VARCHAR) AS jaccard
+    FROM cand
+    JOIN sig sa ON sa.doc_id = cand.id_a
+    JOIN sig sb ON sb.doc_id = cand.id_b
+    WHERE len(list_intersect(sa.shset, sb.shset))::DOUBLE
+          / len(list_distinct(list_concat(sa.shset, sb.shset))) >= 0.3
+"""
+
+
+@query(
+    "minhash_incremental",
+    _MINHASH_INCREMENTAL_SQL.format(mh=_sql_minhash_array()),
+)
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup (operators/dedup_index.py): the corpus's
+    MinHash state (band buckets + distinct shingle rows) is treated as
+    a persisted ingest-time index; a NEW batch (+500000 near-dup
+    copies of every 13th doc) is deduped against it and within itself
+    without any corpus text re-scan. Result == the full-corpus run
+    restricted to batch-involving pairs, which is exactly what the
+    oracle computes (same SQL as minhash_near_dup's green oracle plus
+    the batch-involvement predicate)."""
+    from opengauss_tools_datachecker_performance_spark.operators.dedup_index import (
+        incremental_near_duplicates,
+        minhash_index_frames,
+    )
+
+    corpus = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    batch = corpus.filter(F.col("doc_id").cast("long") % 13 == 0).select(
+        (F.col("doc_id").cast("long") + 500000).cast("string").alias("doc_id"),
+        F.concat("text", F.lit(_SUFFIX1)).alias("text"),
+    )
+    buckets, shingles = minhash_index_frames(corpus)
+    out = incremental_near_duplicates(buckets, shingles, batch, threshold=0.3)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round("jaccard", 6).cast("decimal(10,6)").cast("string").alias("jaccard"),
+    )

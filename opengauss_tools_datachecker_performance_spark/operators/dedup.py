@@ -185,6 +185,15 @@ def exact_jaccard(
     )
     if coverage_out is not None:
         coverage_out.setdefault("persisted", []).append(rows)
+    return jaccard_for_pairs(rows, pairs)
+
+
+def jaccard_for_pairs(rows: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard of candidate pairs over a flat DISTINCT shingle
+    index (doc_id, sh) — the join core of :func:`exact_jaccard`,
+    shared with the incremental index path
+    (operators/dedup_index.py) where the corpus side's rows come
+    pre-computed from persisted state instead of a text scan."""
     sizes = rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     bp = F.broadcast(pairs)
     a_rows = bp.join(rows.withColumnRenamed("doc_id", "id_a"), "id_a")

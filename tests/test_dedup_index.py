@@ -1,0 +1,115 @@
+"""Persisted MinHash index + incremental near-dup detection."""
+
+from pyspark.sql import functions as F
+
+from opengauss_tools_datachecker_performance_spark.operators.dedup import (
+    minhash_near_duplicates,
+)
+from opengauss_tools_datachecker_performance_spark.operators.dedup_index import (
+    incremental_near_duplicates,
+    minhash_index_frames,
+    read_minhash_index,
+    update_minhash_index,
+    write_minhash_index,
+)
+
+
+def _corpus(spark, n=120):
+    """Deterministic toy corpus with enough shared shingles to bucket."""
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    rows = []
+    for i in range(n):
+        toks = [words[(i + j) % len(words)] for j in range(12)]
+        rows.append((str(i), " ".join(toks)))
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def _batch(spark, corpus):
+    """New batch: near-dups of every 10th corpus doc + one novel doc
+    + one doc whose id is already indexed (must be ignored)."""
+    near = (
+        corpus.filter(F.col("doc_id").cast("long") % 10 == 0)
+        .select(
+            (F.col("doc_id").cast("long") + 1000).cast("string").alias("doc_id"),
+            F.concat("text", F.lit(" tail")).alias("text"),
+        )
+    )
+    extra = corpus.sparkSession.createDataFrame(
+        [("2000", "completely unrelated novel text payload tokens"),
+         ("5", "this id is already in the index and must be skipped")],
+        "doc_id string, text string",
+    )
+    return near.unionByName(extra)
+
+
+def _pairs_set(df):
+    return {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in df.collect()
+    }
+
+
+def test_incremental_matches_full_run(spark, tmp_path):
+    """incremental over (index, batch) == full minhash over
+    (corpus ∪ batch) restricted to batch-involving pairs."""
+    corpus = _corpus(spark)
+    batch = _batch(spark, corpus)
+    # the already-indexed id ("5") is skipped, so the reference union
+    # must keep the CORPUS version of that doc, not the batch's text
+    batch_new = batch.filter(F.col("doc_id") != "5")
+    buckets, shingles = minhash_index_frames(corpus)
+
+    inc = incremental_near_duplicates(
+        buckets, shingles, batch, threshold=0.2
+    )
+
+    full = minhash_near_duplicates(
+        corpus.unionByName(batch_new), "doc_id", "text", threshold=0.2
+    )
+    new_ids = {r["doc_id"] for r in batch_new.select("doc_id").collect()}
+    want = {
+        p
+        for p in _pairs_set(full)
+        if p[0] in new_ids or p[1] in new_ids
+    }
+    assert _pairs_set(inc) == want
+    assert len(want) > 0  # the planted near-dups must actually pair
+
+
+def test_write_read_update_roundtrip(spark, tmp_path):
+    corpus = _corpus(spark, n=40)
+    path = str(tmp_path / "mh_index")
+    write_minhash_index(corpus, path)
+    b, s = read_minhash_index(spark, path)
+    eb, es = minhash_index_frames(corpus)
+    assert b.count() == eb.count()
+    assert s.count() == es.count()
+
+    batch = spark.createDataFrame(
+        [("900", "fresh doc alpha beta gamma delta"), ("5", "already indexed")],
+        "doc_id string, text string",
+    )
+    n = update_minhash_index(spark, path, batch)
+    assert n == 1  # "5" skipped
+    # replay is idempotent
+    assert update_minhash_index(spark, path, batch) == 0
+    b2, _ = read_minhash_index(spark, path)
+    ids = {r["doc_id"] for r in b2.select("doc_id").distinct().collect()}
+    assert "900" in ids and len(ids) == 41
+
+
+def test_incremental_plan_reads_no_corpus_text(spark):
+    """The incremental plan must not contain the corpus text scan —
+    only the thin index frames and the batch."""
+    corpus = _corpus(spark, n=40)
+    buckets, shingles = minhash_index_frames(corpus)
+    # materialize the index to parquet-backed frames so the lineage to
+    # the corpus text is genuinely severed (as in production)
+    buckets = buckets.localCheckpoint(eager=True)
+    shingles = shingles.localCheckpoint(eager=True)
+    batch = spark.createDataFrame(
+        [("901", "alpha beta gamma delta epsilon zeta eta alpha")],
+        "doc_id string, text string",
+    )
+    out = incremental_near_duplicates(buckets, shingles, batch, threshold=0.2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "PythonRDD" not in plan
