@@ -103,13 +103,20 @@ def build_parser() -> argparse.ArgumentParser:
         help="digest companion for --sink (see --source-companion)",
     )
     p.add_argument(
-        "--companion-audit", choices=["none", "ledger", "full"], default="ledger",
-        help="staleness gate before trusting a companion: 'ledger' compares "
-             "per-partition (n_rows, XOR digest) against the checkpoint "
-             "ledger's latest 'done' entries — body-free, source side only, "
-             "no-op without --checkpoint-dir; 'full' recomputes reference "
-             "stats from the doc bodies (recovery mode — one body scan); "
-             "'none' trusts the writer's transactional maintenance",
+        "--companion-audit", choices=["none", "ledger", "full"], default="none",
+        help="staleness gate before trusting a companion. Every mode first "
+             "checks partition PRESENCE against the raw table's partition "
+             "column (a single-int-column scan, no bodies): a partition the "
+             "table has but the companion lacks is stale. 'none' (default) "
+             "stops there — right for writer-maintained companions, where "
+             "data and companion move together. 'ledger' additionally "
+             "compares per-partition (n_rows, XOR digest) against the "
+             "checkpoint ledger's latest 'done' entries (body-free, source "
+             "side only, no-op without --checkpoint-dir) — use when no "
+             "legitimate change is expected since the last validated run, "
+             "as ANY divergence (companion rot or unexpected mutation) "
+             "exits 2. 'full' recomputes reference stats from the doc "
+             "bodies (recovery mode — one body scan)",
     )
     p.add_argument(
         "--companion-repair", action="store_true",
@@ -232,6 +239,34 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                     spark.stop()
                 return 2
             comp = read_digest_companion(spark, ref)
+            # Unconditional body-free PRESENCE check (every audit
+            # mode): the raw table's partition column is a single-int
+            # scan, so comparing partition SETS costs no body read. A
+            # partition the table has but the companion lacks (new,
+            # never ingested into the companion) or the companion has
+            # but the table lost (wholesale delete) is stale — without
+            # this, a companion-missing partition silently drops out
+            # of the validation universe.
+            raw_parts = bodies.select(
+                F.col(args.partition_col).cast("int").alias("part")
+            ).distinct()
+            comp_parts = comp.select(F.col("part").cast("int")).distinct()
+
+            def _presence(missing_from, present_in, reason):
+                return present_in.join(missing_from, "part", "left_anti").select(
+                    "part",
+                    F.lit(reason).alias("reason"),
+                    F.lit(None).cast("long").alias("companion_n_rows"),
+                    F.lit(None).cast("long").alias("reference_n_rows"),
+                    F.lit(None).cast("long").alias("companion_digest"),
+                    F.lit(None).cast("long").alias("reference_digest"),
+                )
+
+            stale_df = _presence(
+                comp_parts, raw_parts, "missing_in_companion"
+            ).unionByName(
+                _presence(raw_parts, comp_parts, "missing_in_reference")
+            )
             ref_stats = None
             if args.companion_audit == "full":
                 from opengauss_tools_datachecker_performance_spark.plans.lineage import (
@@ -248,46 +283,48 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             ):
                 ref_stats = _ledger_reference_stats(spark, args.checkpoint_dir)
             if ref_stats is not None:
-                stale_df = companion_stale_partitions(comp, ref_stats)
+                audit_df = companion_stale_partitions(comp, ref_stats)
                 if args.companion_audit == "ledger":
                     # the ledger only knows previously-validated
                     # partitions — a companion partition absent from it
                     # is unaudited, not stale
-                    stale_df = stale_df.filter(
+                    audit_df = audit_df.filter(
                         F.col("reason") != "missing_in_reference"
                     )
-                stale = stale_df.collect()  # bounded: #partitions
-                if stale and args.companion_repair and not ref.startswith("table:"):
-                    repair_companion(
-                        spark,
-                        ref,
-                        bodies,
-                        [r["part"] for r in stale],
-                        partition_col=args.partition_col,
-                    )
-                    comp = read_digest_companion(spark, ref)
-                    print(
-                        f"[companion] {side}: repaired "
-                        f"{len(stale)} stale partitions from doc bodies"
-                    )
-                elif stale:
-                    os.makedirs(args.report_dir, exist_ok=True)
-                    stale_df.coalesce(1).write.mode("overwrite").parquet(
-                        os.path.join(args.report_dir, "companion_stale.parquet")
-                    )
-                    why = (
-                        "table: companions cannot be partition-repaired "
-                        "— refresh via write_digest_companion"
-                        if ref.startswith("table:")
-                        else "rerun with --companion-repair"
-                    )
-                    print(
-                        f"[companion] {side}: {len(stale)} stale partitions "
-                        f"(companion_stale.parquet) — aborting; {why}"
-                    )
-                    if own_session:
-                        spark.stop()
-                    return 2
+                stale_df = stale_df.unionByName(audit_df)
+            stale_df = stale_df.dropDuplicates(["part"])
+            stale = stale_df.collect()  # bounded: #partitions
+            if stale and args.companion_repair and not ref.startswith("table:"):
+                repair_companion(
+                    spark,
+                    ref,
+                    bodies,
+                    [r["part"] for r in stale],
+                    partition_col=args.partition_col,
+                )
+                comp = read_digest_companion(spark, ref)
+                print(
+                    f"[companion] {side}: repaired "
+                    f"{len(stale)} stale partitions from doc bodies"
+                )
+            elif stale:
+                os.makedirs(args.report_dir, exist_ok=True)
+                stale_df.coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(args.report_dir, "companion_stale.parquet")
+                )
+                why = (
+                    "table: companions cannot be partition-repaired "
+                    "— refresh via write_digest_companion"
+                    if ref.startswith("table:")
+                    else "rerun with --companion-repair"
+                )
+                print(
+                    f"[companion] {side}: {len(stale)} stale partitions "
+                    f"(companion_stale.parquet) — aborting; {why}"
+                )
+                if own_session:
+                    spark.stop()
+                return 2
             if side == "source":
                 docs_source, src_part_col = comp, "part"
             else:

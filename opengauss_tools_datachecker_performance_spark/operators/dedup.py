@@ -131,12 +131,19 @@ def lsh_candidate_pairs(
     buckets: DataFrame,
     max_bucket_size: int = 50,
     coverage_out: dict | None = None,
+    require_flag: str | None = None,
 ) -> DataFrame:
     """Self-join per (band, band_key) → distinct candidate (id_a, id_b),
     id_a < id_b.  Buckets above ``max_bucket_size`` are dropped (at
     corpus scale those are boilerplate clusters that would quadratically
     explode); the dropped entries register in ``coverage_out`` as a
-    lazy frame — see :func:`coverage_counts`."""
+    lazy frame — see :func:`coverage_counts`.
+
+    ``require_flag`` names an optional boolean column on ``buckets``:
+    only pairs where at least one side carries the flag are emitted —
+    the incremental-index path (operators/dedup_index.py) uses it to
+    restrict candidates to batch-involving pairs while the occupancy
+    cap still evaluates over the FULL bucket union."""
     sized = buckets.withColumn(
         "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "band_key"))
     )
@@ -145,14 +152,19 @@ def lsh_candidate_pairs(
             F.col("bucket_n") > max_bucket_size
         )
     sized = sized.filter(F.col("bucket_n") <= max_bucket_size)
-    a = sized.select("band", "band_key", F.col("doc_id").alias("id_a"))
-    b = sized.select("band", "band_key", F.col("doc_id").alias("id_b"))
-    return (
-        a.join(b, ["band", "band_key"])
+    a_cols = ["band", "band_key", F.col("doc_id").alias("id_a")]
+    b_cols = ["band", "band_key", F.col("doc_id").alias("id_b")]
+    if require_flag is not None:
+        a_cols.append(F.col(require_flag).alias("_flag_a"))
+        b_cols.append(F.col(require_flag).alias("_flag_b"))
+    pairs = (
+        sized.select(*a_cols)
+        .join(sized.select(*b_cols), ["band", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
     )
+    if require_flag is not None:
+        pairs = pairs.filter(F.col("_flag_a") | F.col("_flag_b"))
+    return pairs.select("id_a", "id_b").distinct()
 
 
 def exact_jaccard(

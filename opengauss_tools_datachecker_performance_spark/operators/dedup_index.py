@@ -13,6 +13,13 @@ persisted ONCE at ingest:
 * ``shingles.parquet`` — (doc_id, sh): the DISTINCT shingle-hash rows
   exact verification needs; longs only, ~100× smaller than the text.
 
+Both tables are partitioned by a deterministic ``batch`` key (an
+order-insensitive fold of the batch's doc ids), and every update
+OVERWRITES its own batch= subdirs. The two writes are not atomic, but
+a crash between them is self-healing: the replay recomputes the same
+key from the same batch and rewrites both subdirs — the same
+dynamic-partition-overwrite discipline as update_digest_companion.
+
 Incremental detection then computes signatures for the new batch only,
 joins its band keys against the stored buckets (plus a new-vs-new
 self-join), and verifies candidates with exact Jaccard over stored +
@@ -29,12 +36,12 @@ Scale notes (10^12 docs):
   storage-partitioned: the index never shuffles. Shingles bucketed by
   doc_id co-locate the verification semi-join the same way.
 * the mega-bucket cap is evaluated over the UNION's occupancy
-  (corpus + batch), identical to the full-corpus run — so incremental
-  and full runs drop the same degenerate buckets (no coverage drift
-  between the two paths).
-* ``update_minhash_index`` appends only docs not yet indexed
-  (anti-join on the thin bucket table), so replaying a failed batch
-  is idempotent — same contract as update_digest_companion.
+  (corpus + batch) through the same lsh_candidate_pairs code path as
+  the full-corpus run — so incremental and full runs drop identical
+  degenerate buckets (no coverage drift between the two paths).
+* ``update_minhash_index`` skips docs already indexed in OTHER
+  batches (anti-join on the thin bucket table) and overwrites its own
+  batch= subdirs, so replaying a failed batch is idempotent.
 """
 
 from __future__ import annotations
@@ -43,11 +50,11 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from opengauss_tools_datachecker_performance_spark.functions.text import shingle_rows
 from opengauss_tools_datachecker_performance_spark.operators.dedup import (
     jaccard_for_pairs,
+    lsh_candidate_pairs,
     minhash_band_buckets,
 )
 
@@ -70,6 +77,26 @@ def minhash_index_frames(
     return buckets, shingles
 
 
+def _batch_key(docs: DataFrame, id_col: str) -> str:
+    """Deterministic, order-insensitive identity of a batch: XOR fold
+    of the distinct doc-id hashes. Replaying the same batch yields the
+    same key, so its batch= subdirs are overwritten, not duplicated."""
+    row = (
+        docs.select(F.col(id_col).cast("string").alias("_id"))
+        .distinct()
+        .agg(F.bit_xor(F.xxhash64("_id")).alias("x"), F.count(F.lit(1)).alias("n"))
+        .first()
+    )
+    return f"{(row['x'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}_{row['n']}"
+
+
+def _overwrite_batch(frame: DataFrame, path: str, batch: str) -> None:
+    # the batch key lives in the directory name only (partition
+    # discovery restores it on read); writing it into the files too
+    # would be flagged as a duplicate column
+    frame.write.mode("overwrite").parquet(os.path.join(path, f"batch={batch}"))
+
+
 def write_minhash_index(
     docs: DataFrame,
     path: str,
@@ -78,21 +105,43 @@ def write_minhash_index(
     shingle_k: int = 3,
     num_hashes: int = 8,
     bands: int = 4,
-    mode: str = "overwrite",
-) -> None:
+) -> str:
+    """Create the index with the corpus as its first batch; returns the
+    batch key."""
+    key = _batch_key(docs, id_col)
     buckets, shingles = minhash_index_frames(
         docs, id_col, text_col, shingle_k, num_hashes, bands
     )
-    buckets.write.mode(mode).parquet(os.path.join(path, "buckets.parquet"))
-    shingles.write.mode(mode).parquet(os.path.join(path, "shingles.parquet"))
+    _overwrite_batch(buckets, os.path.join(path, "buckets.parquet"), key)
+    _overwrite_batch(shingles, os.path.join(path, "shingles.parquet"), key)
+    return key
 
 
 def read_minhash_index(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame]:
     return (
-        spark.read.parquet(os.path.join(path, "buckets.parquet")),
-        spark.read.parquet(os.path.join(path, "shingles.parquet")),
+        spark.read.parquet(os.path.join(path, "buckets.parquet")).drop("batch"),
+        spark.read.parquet(os.path.join(path, "shingles.parquet")).drop("batch"),
+    )
+
+
+def _without_indexed(
+    new_docs: DataFrame, index_buckets: DataFrame, id_col: str
+) -> DataFrame:
+    """Drop batch docs whose ids are already indexed — the probe is a
+    broadcast semi-join against the thin bucket table, never a corpus
+    scan."""
+    batch_ids = new_docs.select(
+        F.col(id_col).cast("string").alias("doc_id")
+    ).distinct()
+    indexed = index_buckets.join(
+        F.broadcast(batch_ids), "doc_id", "left_semi"
+    ).select("doc_id").distinct()
+    return new_docs.join(
+        indexed,
+        new_docs[id_col].cast("string") == indexed["doc_id"],
+        "left_anti",
     )
 
 
@@ -106,30 +155,35 @@ def update_minhash_index(
     num_hashes: int = 8,
     bands: int = 4,
 ) -> int:
-    """Append the batch's index rows, skipping docs already indexed
-    (idempotent batch replay). Returns the number of docs appended.
-    The existence probe semi-joins the thin bucket table against the
-    batch's ids — never a corpus scan."""
-    buckets, _ = read_minhash_index(spark, path)
-    batch_ids = new_docs.select(
-        F.col(id_col).cast("string").alias("doc_id")
-    ).distinct()
-    already = buckets.join(
-        F.broadcast(batch_ids), "doc_id", "left_semi"
-    ).select("doc_id").distinct()
-    fresh = new_docs.join(
-        already,
-        new_docs[id_col].cast("string") == already["doc_id"],
-        "left_anti",
-    )
-    n = fresh.count()
-    if n == 0:
-        return 0
-    b, s = minhash_index_frames(
-        fresh, id_col, text_col, shingle_k, num_hashes, bands
-    )
-    b.write.mode("append").parquet(os.path.join(path, "buckets.parquet"))
-    s.write.mode("append").parquet(os.path.join(path, "shingles.parquet"))
+    """Index the batch into its own batch= subdirs, skipping docs
+    already indexed by OTHER batches. Returns the number of docs
+    written. Idempotent: a replay (including one that crashed between
+    the buckets and shingles writes) recomputes the same batch key —
+    excluding its own possibly-partial subdir from the probe — and
+    overwrites both subdirs."""
+    key = _batch_key(new_docs, id_col)
+    bpath = os.path.join(path, "buckets.parquet")
+    buckets = spark.read.parquet(bpath)
+    others = buckets.filter(F.col("batch") != key).drop("batch")
+    fresh = _without_indexed(new_docs, others, id_col).persist()
+    try:
+        n = fresh.count()
+        if n == 0:
+            # nothing new: remove a possibly-partial replayed subdir
+            import shutil
+
+            for t in ("buckets.parquet", "shingles.parquet"):
+                shutil.rmtree(
+                    os.path.join(path, t, f"batch={key}"), ignore_errors=True
+                )
+            return 0
+        b, s = minhash_index_frames(
+            fresh, id_col, text_col, shingle_k, num_hashes, bands
+        )
+        _overwrite_batch(b, bpath, key)
+        _overwrite_batch(s, os.path.join(path, "shingles.parquet"), key)
+    finally:
+        fresh.unpersist()
     return n
 
 
@@ -152,19 +206,8 @@ def incremental_near_duplicates(
     (corpus ∪ batch) filtered to batch-involving pairs (tested)."""
     # a batch doc already present in the index is not "new" — keeping
     # it would double its bucket/shingle rows in the unions below and
-    # corrupt the exact-Jaccard counts; the probe is a broadcast
-    # semi-join against the thin bucket table, never a corpus scan
-    batch_ids = new_docs.select(
-        F.col(id_col).cast("string").alias("doc_id")
-    ).distinct()
-    indexed = index_buckets.join(
-        F.broadcast(batch_ids), "doc_id", "left_semi"
-    ).select("doc_id").distinct()
-    new_docs = new_docs.join(
-        indexed,
-        new_docs[id_col].cast("string") == indexed["doc_id"],
-        "left_anti",
-    )
+    # corrupt the exact-Jaccard counts
+    new_docs = _without_indexed(new_docs, index_buckets, id_col)
     new_buckets, new_shingles = minhash_index_frames(
         new_docs, id_col, text_col, shingle_k, num_hashes, bands
     )
@@ -175,31 +218,12 @@ def incremental_near_duplicates(
             "doc_id", "band", "band_key", F.lit(True).alias("is_new")
         )
     )
-    # occupancy cap over the UNION — identical semantics to the
-    # full-corpus lsh_candidate_pairs, so the incremental path drops
-    # exactly the buckets the full run would
-    sized = union.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "band_key"))
-    )
-    if coverage_out is not None:
-        coverage_out["minhash_dropped_bucket_entries"] = sized.filter(
-            F.col("bucket_n") > max_bucket_size
-        )
-    sized = sized.filter(F.col("bucket_n") <= max_bucket_size)
-    a = sized.select(
-        "band", "band_key", F.col("doc_id").alias("id_a"), F.col("is_new").alias("new_a")
-    )
-    b = sized.select(
-        "band", "band_key", F.col("doc_id").alias("id_b"), F.col("is_new").alias("new_b")
-    )
-    cands = (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.col("new_a") | F.col("new_b"))
-        .select("id_a", "id_b")
-        .distinct()
-        .persist()
-    )
+    # same candidate generation (and occupancy cap over the FULL
+    # union) as the full-corpus run, restricted to batch-involving
+    # pairs via the is_new flag
+    cands = lsh_candidate_pairs(
+        union, max_bucket_size, coverage_out, require_flag="is_new"
+    ).persist()
     if coverage_out is not None:
         coverage_out.setdefault("persisted", []).append(cands)
     ids = cands.select(

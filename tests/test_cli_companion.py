@@ -3,16 +3,19 @@
 The digest-companion fast path (sources/prehashed.py, measured 2.2x
 at 3M docs/side in BENCH/BASELINE.md) must be reachable from the
 spark-submit entrypoint with an identical report, gated by the
-body-free ledger staleness audit, and self-healing via
---companion-repair.
+body-free staleness audits (partition presence always; ledger stats
+on request), and self-healing via --companion-repair.
 """
 
 import json
 import os
 import shutil
 
+from pyspark.sql import functions as F
+
 from opengauss_tools_datachecker_performance_spark.__main__ import main
 from opengauss_tools_datachecker_performance_spark.sources.prehashed import (
+    digest_companion_frame,
     write_digest_companion,
 )
 from opengauss_tools_datachecker_performance_spark.synth import write_corpus
@@ -48,7 +51,6 @@ def test_cli_companion_matches_body_run(spark, tmp_path):
             "--report-dir", r_comp,
             "--source-companion", f"{corpus}/comp_source",
             "--sink-companion", f"{corpus}/comp_sink",
-            "--companion-audit", "none",
         ],
         spark=spark,
     )
@@ -58,19 +60,59 @@ def test_cli_companion_matches_body_run(spark, tmp_path):
     assert s_body["constraints"] == s_comp["constraints"]
 
 
-def test_cli_companion_ledger_audit_gates_and_repairs(spark, tmp_path):
-    """A companion whose partition diverges from the ledger's recorded
-    (n_rows, digest) must abort with exit 2 + a companion_stale
-    report; --companion-repair re-derives only the stale partitions
-    from bodies and the run then matches the body run."""
+def test_cli_companion_presence_gate_and_repair(spark, tmp_path):
+    """A partition the raw table has but the companion lacks must abort
+    with exit 2 even under the default audit 'none' (presence is
+    always checked, body-free); --companion-repair re-derives only
+    that partition and the run then matches the body run."""
+    corpus = _setup(spark, tmp_path)
+    comp_path = f"{corpus}/comp_source"
+    shutil.rmtree(os.path.join(comp_path, "part=0"))
+    comp_args = _args(corpus) + ["--source-companion", comp_path]
+    rc = main(
+        comp_args + ["--report-dir", str(tmp_path / "stale")], spark=spark
+    )
+    assert rc == 2
+    stale = spark.read.parquet(
+        os.path.join(str(tmp_path / "stale"), "companion_stale.parquet")
+    ).collect()
+    assert {r["part"] for r in stale} == {0}
+    assert {r["reason"] for r in stale} == {"missing_in_companion"}
+
+    r_body, r_fixed = str(tmp_path / "body"), str(tmp_path / "fixed")
+    main(_args(corpus) + ["--report-dir", r_body], spark=spark)
+    rc = main(
+        comp_args + ["--companion-repair", "--report-dir", r_fixed],
+        spark=spark,
+    )
+    assert rc == 1
+    s_body = json.load(open(os.path.join(r_body, "summary.json")))
+    s_fixed = json.load(open(os.path.join(r_fixed, "summary.json")))
+    assert s_body["constraints"] == s_fixed["constraints"]
+
+
+def test_cli_companion_ledger_audit_catches_row_drift(spark, tmp_path):
+    """Ledger audit: a companion partition PRESENT but diverging from
+    the ledger's recorded (n_rows, digest) — here one doc dropped, so
+    presence alone cannot see it — aborts with exit 2 and repairs."""
     corpus = _setup(spark, tmp_path)
     ckpt = str(tmp_path / "ckpt")
     args = _args(corpus) + ["--checkpoint-dir", ckpt]
     # seed the ledger (and the reference summary) with a body run
     main(args + ["--report-dir", str(tmp_path / "seed")], spark=spark)
-    # corrupt the source companion: drop one partition wholesale
+    # corrupt the source companion: rewrite part=0 with one doc missing
+    src = spark.read.parquet(f"{corpus}/docs_source.parquet")
+    victim = (
+        src.filter(F.col("part") == 0)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .first()["doc_id"]
+    )
+    bad = src.filter((F.col("part") == 0) & (F.col("doc_id") != victim))
     comp_path = f"{corpus}/comp_source"
-    shutil.rmtree(os.path.join(comp_path, "part=0"))
+    digest_companion_frame(bad).drop("part").write.mode("overwrite").parquet(
+        os.path.join(comp_path, "part=0")
+    )
     comp_args = args + [
         "--source-companion", comp_path, "--companion-audit", "ledger",
     ]
@@ -82,7 +124,7 @@ def test_cli_companion_ledger_audit_gates_and_repairs(spark, tmp_path):
         os.path.join(str(tmp_path / "stale"), "companion_stale.parquet")
     ).collect()
     assert {r["part"] for r in stale} == {0}
-    assert {r["reason"] for r in stale} == {"missing_in_companion"}
+    assert {r["reason"] for r in stale} == {"row_count"}
 
     rc = main(
         comp_args + ["--companion-repair", "--report-dir", str(tmp_path / "fixed")],

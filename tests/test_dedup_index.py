@@ -76,6 +76,9 @@ def test_incremental_matches_full_run(spark, tmp_path):
 
 
 def test_write_read_update_roundtrip(spark, tmp_path):
+    import os
+    import shutil
+
     corpus = _corpus(spark, n=40)
     path = str(tmp_path / "mh_index")
     write_minhash_index(corpus, path)
@@ -89,12 +92,42 @@ def test_write_read_update_roundtrip(spark, tmp_path):
         "doc_id string, text string",
     )
     n = update_minhash_index(spark, path, batch)
-    assert n == 1  # "5" skipped
-    # replay is idempotent
-    assert update_minhash_index(spark, path, batch) == 0
-    b2, _ = read_minhash_index(spark, path)
-    ids = {r["doc_id"] for r in b2.select("doc_id").distinct().collect()}
-    assert "900" in ids and len(ids) == 41
+    assert n == 1  # "5" already indexed by the corpus batch → skipped
+
+    def _ids():
+        b2, _ = read_minhash_index(spark, path)
+        return {r["doc_id"] for r in b2.select("doc_id").distinct().collect()}
+
+    assert "900" in _ids() and len(_ids()) == 41
+    # replay overwrites the same batch= subdirs — no duplicate rows
+    assert update_minhash_index(spark, path, batch) == 1
+    b3, s3 = read_minhash_index(spark, path)
+    assert len(_ids()) == 41
+    assert b3.filter("doc_id = '900'").count() == 4  # bands, not 2x bands
+
+    # crash between the two writes: shingles batch dir lost — replay
+    # recomputes the same key and heals both tables
+    batch_dirs = [
+        d for d in os.listdir(os.path.join(path, "shingles.parquet"))
+        if d.startswith("batch=")
+    ]
+    assert len(batch_dirs) == 2
+    victim = [
+        d for d in batch_dirs
+        if spark.read.parquet(os.path.join(path, "shingles.parquet", d))
+        .filter("doc_id = '900'").count() > 0
+    ][0]
+    shutil.rmtree(os.path.join(path, "shingles.parquet", victim))
+    assert update_minhash_index(spark, path, batch) == 1
+    _, s4 = read_minhash_index(spark, path)
+    assert s4.filter("doc_id = '900'").count() > 0
+
+    # a batch with nothing new returns 0 and leaves no stray subdir
+    dup_batch = spark.createDataFrame(
+        [("5", "already indexed")], "doc_id string, text string"
+    )
+    assert update_minhash_index(spark, path, dup_batch) == 0
+    assert len(_ids()) == 41
 
 
 def test_incremental_plan_reads_no_corpus_text(spark):
