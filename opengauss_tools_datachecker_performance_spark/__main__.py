@@ -92,6 +92,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--near-dup-threshold", type=float, default=0.5,
                    help="verified-Jaccard threshold for --near-dup-table")
     p.add_argument(
+        "--near-dup-index", default=None,
+        help="persisted MinHash index dir (operators/dedup_index.py). "
+             "When set, --near-dup-table is treated as the NEW BATCH and "
+             "deduped incrementally against the index (new-vs-corpus and "
+             "new-vs-new; corpus text is never re-read)",
+    )
+    p.add_argument(
+        "--near-dup-update-index", action="store_true",
+        help="after detection, index the batch into --near-dup-index "
+             "(idempotent: replaying a batch overwrites its own batch= "
+             "subdirs)",
+    )
+    p.add_argument(
         "--source-companion", default=None,
         help="digest companion for --source (parquet path or table:name, "
              "sources/prehashed.py): validate body-free off the persisted "
@@ -468,18 +481,43 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         )
 
         cov: dict = {}
-        pairs = minhash_near_duplicates(
-            load_table(spark, args.near_dup_table),
-            "doc_id",
-            "text",
-            threshold=args.near_dup_threshold,
-            coverage_out=cov,
-        )
+        nd_table = load_table(spark, args.near_dup_table)
+        if args.near_dup_index:
+            # incremental: the table is the NEW BATCH, deduped against
+            # the persisted corpus index without re-reading corpus text
+            from opengauss_tools_datachecker_performance_spark.operators.dedup_index import (
+                incremental_near_duplicates,
+                read_minhash_index,
+                update_minhash_index,
+            )
+
+            idx_b, idx_s = read_minhash_index(spark, args.near_dup_index)
+            pairs = incremental_near_duplicates(
+                idx_b,
+                idx_s,
+                nd_table,
+                threshold=args.near_dup_threshold,
+                coverage_out=cov,
+            )
+        else:
+            pairs = minhash_near_duplicates(
+                nd_table,
+                "doc_id",
+                "text",
+                threshold=args.near_dup_threshold,
+                coverage_out=cov,
+            )
         pairs.write.mode("overwrite").parquet(
             os.path.join(args.report_dir, "near_dup_pairs.parquet")
         )
         coverage = coverage_counts(cov)
         release(cov)
+        if args.near_dup_index and args.near_dup_update_index:
+            n_indexed = update_minhash_index(
+                spark, args.near_dup_index, nd_table
+            )
+            print(f"[near-dup] indexed {n_indexed} new docs into "
+                  f"{args.near_dup_index}")
     summary = summarize_dir(
         spark,
         args.report_dir,

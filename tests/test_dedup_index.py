@@ -130,6 +130,46 @@ def test_write_read_update_roundtrip(spark, tmp_path):
     assert len(_ids()) == 41
 
 
+def test_cli_incremental_near_dup(spark, tmp_path):
+    """--near-dup-index switches --near-dup-table to incremental mode:
+    pairs all involve the batch, and --near-dup-update-index indexes
+    the batch afterward."""
+    import os
+
+    from opengauss_tools_datachecker_performance_spark.__main__ import main
+    from opengauss_tools_datachecker_performance_spark.synth import write_corpus
+
+    corpus_dir = str(tmp_path / "corpus")
+    write_corpus(spark, corpus_dir, n_docs=200, n_assets=30, n_partitions=2)
+    corpus = _corpus(spark)
+    idx = str(tmp_path / "idx")
+    write_minhash_index(corpus, idx)
+    batch = _batch(spark, corpus)
+    batch_path = str(tmp_path / "batch.parquet")
+    batch.write.parquet(batch_path)
+    report = str(tmp_path / "report")
+    main(
+        [
+            "--source", f"{corpus_dir}/docs_source.parquet",
+            "--report-dir", report,
+            "--near-dup-table", batch_path,
+            "--near-dup-index", idx,
+            "--near-dup-threshold", "0.2",
+            "--near-dup-update-index",
+        ],
+        spark=spark,
+    )
+    pairs = spark.read.parquet(
+        os.path.join(report, "near_dup_pairs.parquet")
+    ).collect()
+    assert len(pairs) > 0
+    new_ids = {r["doc_id"] for r in batch.collect()}
+    assert all(r["id_a"] in new_ids or r["id_b"] in new_ids for r in pairs)
+    b2, _ = read_minhash_index(spark, idx)
+    ids = {r["doc_id"] for r in b2.select("doc_id").distinct().collect()}
+    assert "2000" in ids  # the novel batch doc got indexed
+
+
 def test_incremental_plan_reads_no_corpus_text(spark):
     """The incremental plan must not contain the corpus text scan —
     only the thin index frames and the batch."""
