@@ -342,6 +342,14 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 docs_source, src_part_col = comp, "part"
             else:
                 docs_sink, sink_part_col = comp, "part"
+        # audits passed (or repaired): a companion_stale.parquet left
+        # by a previously-aborted run in this report dir is stale info
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(args.report_dir, "companion_stale.parquet"),
+            ignore_errors=True,
+        )
 
     # Partition universe = source ∪ sink: a partition wholesale-deleted
     # from the source still exists in the sink and must surface its
