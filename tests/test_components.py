@@ -101,6 +101,46 @@ def test_dedup_survivors(spark):
     assert rows["d"]["n_members"] == 2
 
 
+def test_composes_with_embedding_near_dup(spark):
+    """The cluster/survivor layer composes with ANY pair-emitting
+    dedup operator — here the embedding-cosine one: planted duplicate
+    embeddings resolve into one cluster per duplicate group."""
+    import math
+
+    from opengauss_tools_datachecker_performance_spark.operators.dedup import (
+        embedding_near_duplicates,
+    )
+
+    dims = 8
+
+    def vec(seed):
+        v = [math.sin(seed * (j + 1)) for j in range(dims)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = []
+    for i in range(12):
+        v = vec(i + 1)
+        rows.append((100 + i, v))
+        if i % 4 == 0:  # plant two near-identical copies → 3-clusters
+            rows.append((1000 + i * 10 + 1, v))
+            rows.append((1000 + i * 10 + 2, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_near_duplicates(
+        emb, threshold=0.999, dims=dims, n_planes=4, n_tables=2
+    )
+    labels = connected_components(pairs)
+    comp = {}
+    for r in labels.collect():
+        comp.setdefault(r["component"], set()).add(r["id"])
+    clusters = sorted(sorted(v) for v in comp.values())
+    assert clusters == [
+        ["100", "1001", "1002"],
+        ["104", "1041", "1042"],
+        ["108", "1081", "1082"],
+    ]
+
+
 def test_no_python_row_udfs_in_plan(spark):
     """The component loop must stay JVM-side: no BatchEvalPython /
     PythonRDD in the executed plan."""
