@@ -251,3 +251,105 @@ def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.round("jaccard", 6).cast("decimal(10,6)").cast("string").alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus curation: stratified sampling + token-budget packing plan
+# ---------------------------------------------------------------------------
+
+_PH_ID = _SQL_PHASH.format(x="doc_id")
+
+
+@query(
+    "stratified_sample",
+    f"""
+    WITH d AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             CASE WHEN len(text) < 200 THEN 'short'
+                  WHEN len(text) < 400 THEN 'mid'
+                  ELSE 'long' END AS stratum
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, stratum,
+             row_number() OVER (PARTITION BY stratum
+                                ORDER BY {_PH_ID}, doc_id) AS sample_rank
+      FROM d
+    )
+    SELECT doc_id, stratum, CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM r WHERE sample_rank <= 20
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seedless stratified sampling
+    (operators.curation.stratified_sample): 20 docs per text-length
+    stratum under the portable-hash order — membership is stable
+    across runs, append orders, and engines."""
+    from opengauss_tools_datachecker_performance_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.when(F.length("text") < 200, F.lit("short"))
+        .when(F.length("text") < 400, F.lit("mid"))
+        .otherwise(F.lit("long"))
+        .alias("stratum"),
+    )
+    out = stratified_sample(d, "stratum", 20)
+    return out.select(
+        "doc_id", "stratum", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
+_PACK_BUDGET = 512
+_PACK_SHARDS = 16
+
+
+@query(
+    "token_pack_plan",
+    f"""
+    WITH d AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             CAST(len({_SQL_WS_TOKS.format(t='text')}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_tokens,
+             ({_PH_ID}) % {_PACK_SHARDS} AS shard, {_PH_ID} AS ph
+      FROM d
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ph, doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS st
+      FROM s
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(st // {_PACK_BUDGET} AS BIGINT) AS bin,
+           CAST(st % {_PACK_BUDGET} AS BIGINT) AS tok_offset,
+           n_tokens
+    FROM c
+    """,
+)
+def q_token_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous GPT-style sequence-packing plan
+    (operators.curation.token_pack_plan): shard-local token streams
+    sliced into 512-token sequences; each doc's (shard, bin, offset)
+    is the closed-form image of its running start offset — no global
+    window, no per-row state machine."""
+    from opengauss_tools_datachecker_performance_spark.operators.curation import (
+        token_pack_plan,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    out = token_pack_plan(d, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS)
+    return out.select(
+        "doc_id",
+        "shard",
+        "bin",
+        F.col("offset").alias("tok_offset"),
+        "n_tokens",
+    )

@@ -1,0 +1,100 @@
+"""Corpus-curation operators: deterministic stratified sampling and
+token-budget packing plans — the two decisions a training-data
+pipeline makes after validation/dedup: WHICH documents to keep per
+stratum, and HOW to lay the keepers out into fixed-token-budget
+training sequences.
+
+Both are seedless and deterministic (ordering by the portable md5
+hash of the doc id, ties by id), so results are reproducible across
+runs and engines — each has a DuckDB oracle in entry_queries_wave9.
+
+Scale notes (10^12 docs):
+* stratified_sample is one window per stratum — a hash-partitioned
+  shuffle keyed on the stratum column; no global ordering anywhere.
+  Skewed strata (one language dominating) spread across tasks the
+  same way any hot groupBy key does (AQE skew handling applies).
+* token_pack_plan never builds a GLOBAL running sum (a single
+  unpartitioned window = one task at any scale). Docs are sharded by
+  id hash; each shard packs independently with its own running token
+  cumsum, and a sequence is identified by (shard, bin) —
+  embarrassingly parallel, deterministic, and exactly how a
+  1000-executor packing job would shard. The layout is contiguous
+  (GPT-pretraining style): every sequence is exactly ``budget``
+  tokens, docs straddle bin boundaries and are split there by the
+  downstream writer — no padding waste, no per-row state machine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from opengauss_tools_datachecker_performance_spark.functions.hashing import (
+    portable_hash64,
+)
+from opengauss_tools_datachecker_performance_spark.functions.text import ws_tokens
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str | Column,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the first ``n_per_stratum`` docs of each stratum under the
+    deterministic (portable_hash64(id), id) order → (doc_id, stratum,
+    sample_rank). Hash order makes membership stable under corpus
+    append-order changes and uniformly spread, i.e. a seedless uniform
+    sample per stratum."""
+    stratum = (
+        F.col(strata_col) if isinstance(strata_col, str) else strata_col
+    ).alias("stratum")
+    ranked = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"), stratum
+    ).withColumn(
+        "sample_rank",
+        F.row_number().over(
+            Window.partitionBy("stratum").orderBy(
+                portable_hash64(F.col("doc_id")), F.col("doc_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("sample_rank") <= n_per_stratum)
+
+
+def token_pack_plan(
+    docs: DataFrame,
+    budget: int,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Contiguous sequence-packing plan → (doc_id, shard, bin, offset,
+    n_tokens): the GPT-pretraining layout — within a shard, docs
+    concatenate in the deterministic (portable_hash64(id), id) order
+    into one token stream sliced into ``budget``-token sequences. Each
+    doc's placement is the closed-form image of its running START
+    offset: bin = start / budget, offset = start % budget. A doc with
+    offset + n_tokens > budget straddles into the following bin(s);
+    the downstream sequence writer splits it there (standard packing —
+    no padding waste, stated rather than hidden). Zero-token docs
+    occupy no space but still receive a placement."""
+    base = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.size(ws_tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    ).withColumn(
+        "shard", F.pmod(portable_hash64(F.col("doc_id")), F.lit(n_shards))
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(portable_hash64(F.col("doc_id")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.select(
+        "doc_id",
+        "shard",
+        F.floor(start / F.lit(budget)).cast("long").alias("bin"),
+        (start % F.lit(budget)).cast("long").alias("offset"),
+        "n_tokens",
+    )
