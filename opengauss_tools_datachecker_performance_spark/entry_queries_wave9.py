@@ -353,3 +353,60 @@ def q_token_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("offset").alias("tok_offset"),
         "n_tokens",
     )
+
+
+@query(
+    "pack_manifest",
+    f"""
+    WITH d AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             CAST(len({_SQL_WS_TOKS.format(t='text')}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_tokens,
+             ({_PH_ID}) % {_PACK_SHARDS} AS shard, {_PH_ID} AS ph
+      FROM d
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ph, doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS st
+      FROM s
+    ),
+    p AS (
+      SELECT doc_id, shard, n_tokens,
+             st // {_PACK_BUDGET} AS bin,
+             st % {_PACK_BUDGET} AS tok_offset
+      FROM c
+    ),
+    m AS (
+      SELECT shard, bin, doc_id, tok_offset, n_tokens,
+             unnest(range(0, CAST(((tok_offset + n_tokens - 1) // {_PACK_BUDGET}) + 1 AS BIGINT))) AS k
+      FROM p WHERE n_tokens > 0
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(bin + k AS BIGINT) AS bin,
+           doc_id,
+           CAST(CASE WHEN k = 0 THEN tok_offset ELSE 0 END AS BIGINT) AS bin_offset,
+           CAST(greatest(0, k * {_PACK_BUDGET} - tok_offset) AS BIGINT) AS doc_from,
+           CAST(least(n_tokens, (k + 1) * {_PACK_BUDGET} - tok_offset) AS BIGINT) AS doc_to
+    FROM m
+    """,
+)
+def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer-ready packing manifest
+    (operators.curation.pack_manifest): the token_pack_plan expanded
+    to one row per (doc, bin) slice — straddling docs split at
+    sequence boundaries via a closed-form sequence explode. Each
+    (shard, bin) group is an independent writer work unit."""
+    from opengauss_tools_datachecker_performance_spark.operators.curation import (
+        pack_manifest,
+        token_pack_plan,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    plan = token_pack_plan(d, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS)
+    return pack_manifest(plan, _PACK_BUDGET)

@@ -98,3 +98,37 @@ def token_pack_plan(
         (start % F.lit(budget)).cast("long").alias("offset"),
         "n_tokens",
     )
+
+
+def pack_manifest(plan: DataFrame, budget: int) -> DataFrame:
+    """Expand a :func:`token_pack_plan` into the per-(doc, bin) slice
+    table a distributed sequence writer consumes → (shard, bin,
+    doc_id, bin_offset, doc_from, doc_to): doc tokens
+    [doc_from, doc_to) land at ``bin_offset`` inside (shard, bin).
+    A straddling doc emits one row per bin it touches (closed-form
+    ``sequence`` explode — no state). Every (shard, bin) group is a
+    self-contained writer work unit: its rows reconstruct exactly
+    ``budget`` tokens (the stream tail may underfill its last bin).
+    Zero-token docs emit nothing."""
+    b = F.lit(budget)
+    # relative index of the last bin this doc touches
+    rel_last = F.floor((F.col("offset") + F.col("n_tokens") - 1) / b)
+    k = F.col("k")
+    rows = plan.filter(F.col("n_tokens") > 0).select(
+        "shard",
+        "bin",
+        "doc_id",
+        "offset",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(0).cast("long"), rel_last.cast("long"))).alias("k"),
+    )
+    doc_from = F.greatest(F.lit(0), k * b - F.col("offset"))
+    doc_to = F.least(F.col("n_tokens"), (k + 1) * b - F.col("offset"))
+    return rows.select(
+        "shard",
+        (F.col("bin") + k).cast("long").alias("bin"),
+        "doc_id",
+        F.when(k == 0, F.col("offset")).otherwise(F.lit(0)).cast("long").alias("bin_offset"),
+        doc_from.cast("long").alias("doc_from"),
+        doc_to.cast("long").alias("doc_to"),
+    )

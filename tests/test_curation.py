@@ -59,6 +59,49 @@ def test_token_pack_plan_layout_invariants(spark):
             start += r["n_tokens"]
 
 
+def test_pack_manifest_reconstructs_streams(spark):
+    """Manifest slices tile each shard's token stream exactly: per
+    (shard, bin), slice lengths sum to the bin's occupancy, offsets
+    are contiguous, and per doc the [doc_from, doc_to) chunks tile
+    [0, n_tokens)."""
+    from opengauss_tools_datachecker_performance_spark.operators.curation import (
+        pack_manifest,
+    )
+
+    budget = 7
+    docs = _docs(spark)
+    plan = token_pack_plan(docs, budget, n_shards=4)
+    man = pack_manifest(plan, budget).collect()
+    n_tok = {r["doc_id"]: r["n_tokens"] for r in plan.collect()}
+
+    by_doc, by_bin = {}, {}
+    for r in man:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        by_bin.setdefault((r["shard"], r["bin"]), []).append(r)
+    # per doc: chunks tile [0, n_tokens)
+    for doc, rs in by_doc.items():
+        rs = sorted(rs, key=lambda r: r["doc_from"])
+        assert rs[0]["doc_from"] == 0
+        for a, b in zip(rs, rs[1:]):
+            assert a["doc_to"] == b["doc_from"]
+        assert rs[-1]["doc_to"] == n_tok[doc]
+    # per bin: slices are contiguous from their offsets and fit budget
+    for (_, _), rs in by_bin.items():
+        rs = sorted(rs, key=lambda r: r["bin_offset"])
+        pos = 0  # contiguous stream ⇒ every bin covered from position 0
+        for r in rs:
+            assert r["bin_offset"] == pos
+            pos += r["doc_to"] - r["doc_from"]
+        assert pos <= budget
+    # full bins (all but each shard's last) are exactly budget tokens
+    last_bin = {}
+    for (sh, b) in by_bin:
+        last_bin[sh] = max(last_bin.get(sh, -1), b)
+    for (sh, b), rs in by_bin.items():
+        if b < last_bin[sh]:
+            assert sum(r["doc_to"] - r["doc_from"] for r in rs) == budget
+
+
 def test_token_pack_plan_is_jvm_side(spark):
     out = token_pack_plan(_docs(spark), 16, n_shards=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
