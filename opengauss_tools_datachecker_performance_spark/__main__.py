@@ -213,7 +213,17 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     )
     from opengauss_tools_datachecker_performance_spark.plans.runner import validate_docs
 
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    # inconsistent flag combinations must fail loudly: silently
+    # skipping the index update would make the NEXT incremental run
+    # miss real near-duplicates of this batch
+    if args.near_dup_update_index and not args.near_dup_index:
+        parser.error("--near-dup-update-index requires --near-dup-index")
+    if args.near_dup_index and not args.near_dup_table:
+        parser.error(
+            "--near-dup-index requires --near-dup-table (the new batch)"
+        )
     own_session = spark is None
     if own_session:
         from opengauss_tools_datachecker_performance_spark.session import get_spark
@@ -490,13 +500,30 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
 
         cov: dict = {}
         nd_table = load_table(spark, args.near_dup_table)
-        if args.near_dup_index:
-            # incremental: the table is the NEW BATCH, deduped against
-            # the persisted corpus index without re-reading corpus text
+        if args.near_dup_index and args.near_dup_update_index:
+            # detect AND index in one shingle/minhash pass over the
+            # batch text (ingest_batch) instead of recomputing the
+            # batch's frames a second time for the index write
+            from opengauss_tools_datachecker_performance_spark.operators.dedup_index import (
+                ingest_batch,
+            )
+
+            pairs, n_indexed = ingest_batch(
+                spark,
+                args.near_dup_index,
+                nd_table,
+                threshold=args.near_dup_threshold,
+                coverage_out=cov,
+            )
+            print(f"[near-dup] indexed {n_indexed} new docs into "
+                  f"{args.near_dup_index}")
+        elif args.near_dup_index:
+            # incremental detection only: the table is the NEW BATCH,
+            # deduped against the persisted corpus index without
+            # re-reading corpus text
             from opengauss_tools_datachecker_performance_spark.operators.dedup_index import (
                 incremental_near_duplicates,
                 read_minhash_index,
-                update_minhash_index,
             )
 
             idx_b, idx_s = read_minhash_index(spark, args.near_dup_index)
@@ -520,12 +547,6 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         )
         coverage = coverage_counts(cov)
         release(cov)
-        if args.near_dup_index and args.near_dup_update_index:
-            n_indexed = update_minhash_index(
-                spark, args.near_dup_index, nd_table
-            )
-            print(f"[near-dup] indexed {n_indexed} new docs into "
-                  f"{args.near_dup_index}")
     summary = summarize_dir(
         spark,
         args.report_dir,

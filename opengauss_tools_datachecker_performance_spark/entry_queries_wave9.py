@@ -305,13 +305,15 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_BUDGET = 512
 _PACK_SHARDS = 16
 
-
-@query(
-    "token_pack_plan",
-    f"""
-    WITH d AS (
+#: shared d/s/c packing CTE block — the single source of truth for the
+#: oracle-side token count (NULL text → 0 tokens, mirroring
+#: token_pack_plan's guard), shard routing, and shard-local running
+#: start offset; used by BOTH the token_pack_plan and pack_manifest
+#: oracles so a packing fix can never silently apply to only one.
+_SQL_PACK_CTES = f"""
+    d AS (
       SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-             CAST(len({_SQL_WS_TOKS.format(t='text')}) AS BIGINT) AS n_tokens
+             COALESCE(CAST(len({_SQL_WS_TOKS.format(t='text')}) AS BIGINT), 0) AS n_tokens
       FROM documents
     ),
     s AS (
@@ -325,10 +327,18 @@ _PACK_SHARDS = 16
                                  ROWS UNBOUNDED PRECEDING) - n_tokens AS st
       FROM s
     )
+"""
+
+
+@query(
+    "token_pack_plan",
+    f"""
+    WITH {_SQL_PACK_CTES}
     SELECT doc_id, CAST(shard AS BIGINT) AS shard,
            CAST(st // {_PACK_BUDGET} AS BIGINT) AS bin,
            CAST(st % {_PACK_BUDGET} AS BIGINT) AS tok_offset,
-           n_tokens
+           n_tokens,
+           CAST({_PACK_BUDGET} AS BIGINT) AS budget
     FROM c
     """,
 )
@@ -352,28 +362,14 @@ def q_token_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin",
         F.col("offset").alias("tok_offset"),
         "n_tokens",
+        "budget",
     )
 
 
 @query(
     "pack_manifest",
     f"""
-    WITH d AS (
-      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-             CAST(len({_SQL_WS_TOKS.format(t='text')}) AS BIGINT) AS n_tokens
-      FROM documents
-    ),
-    s AS (
-      SELECT doc_id, n_tokens,
-             ({_PH_ID}) % {_PACK_SHARDS} AS shard, {_PH_ID} AS ph
-      FROM d
-    ),
-    c AS (
-      SELECT doc_id, shard, n_tokens,
-             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ph, doc_id
-                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS st
-      FROM s
-    ),
+    WITH {_SQL_PACK_CTES},
     p AS (
       SELECT doc_id, shard, n_tokens,
              st // {_PACK_BUDGET} AS bin,
@@ -409,4 +405,4 @@ def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
     plan = token_pack_plan(d, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS)
-    return pack_manifest(plan, _PACK_BUDGET)
+    return pack_manifest(plan)

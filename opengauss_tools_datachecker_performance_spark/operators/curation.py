@@ -78,10 +78,19 @@ def token_pack_plan(
     offset + n_tokens > budget straddles into the following bin(s);
     the downstream sequence writer splits it there (standard packing —
     no padding waste, stated rather than hidden). Zero-token docs
-    occupy no space but still receive a placement."""
+    (including NULL text, counted as 0 tokens — guarded explicitly
+    because ``size(NULL)`` is NULL under ANSI and -1 under legacy
+    semantics, either of which would corrupt the running cumsum)
+    occupy no space but still receive a placement. The plan carries
+    ``budget`` as a constant column (RLE-compressed to nothing on
+    disk) so :func:`pack_manifest` can never expand it against a
+    different bin size than it was built with."""
+    n_tokens = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+        F.size(ws_tokens(F.col(text_col)))
+    )
     base = docs.select(
         F.col(id_col).cast("string").alias("doc_id"),
-        F.size(ws_tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        n_tokens.cast("long").alias("n_tokens"),
     ).withColumn(
         "shard", F.pmod(portable_hash64(F.col("doc_id")), F.lit(n_shards))
     )
@@ -97,10 +106,11 @@ def token_pack_plan(
         F.floor(start / F.lit(budget)).cast("long").alias("bin"),
         (start % F.lit(budget)).cast("long").alias("offset"),
         "n_tokens",
+        F.lit(budget).cast("long").alias("budget"),
     )
 
 
-def pack_manifest(plan: DataFrame, budget: int) -> DataFrame:
+def pack_manifest(plan: DataFrame, budget: int | None = None) -> DataFrame:
     """Expand a :func:`token_pack_plan` into the per-(doc, bin) slice
     table a distributed sequence writer consumes → (shard, bin,
     doc_id, bin_offset, doc_from, doc_to): doc tokens
@@ -109,8 +119,26 @@ def pack_manifest(plan: DataFrame, budget: int) -> DataFrame:
     ``sequence`` explode — no state). Every (shard, bin) group is a
     self-contained writer work unit: its rows reconstruct exactly
     ``budget`` tokens (the stream tail may underfill its last bin).
-    Zero-token docs emit nothing."""
-    b = F.lit(budget)
+    Zero-token docs emit nothing.
+
+    The bin size comes from the plan's own ``budget`` column (written
+    by :func:`token_pack_plan`), so the manifest cannot be expanded
+    against a different budget than the plan was packed with. The
+    ``budget`` argument is accepted only for externally-built plans
+    that lack the column; passing it alongside the column is an
+    error rather than a silent override."""
+    if "budget" in plan.columns:
+        if budget is not None:
+            raise ValueError(
+                "plan already carries its budget column; drop the "
+                "budget argument (it would silently diverge from the "
+                "bin size the plan was packed with)"
+            )
+        b = F.col("budget")
+    elif budget is not None:
+        b = F.lit(budget)
+    else:
+        raise ValueError("plan has no budget column and no budget given")
     # relative index of the last bin this doc touches
     rel_last = F.floor((F.col("offset") + F.col("n_tokens") - 1) / b)
     k = F.col("k")
@@ -120,8 +148,10 @@ def pack_manifest(plan: DataFrame, budget: int) -> DataFrame:
         "doc_id",
         "offset",
         "n_tokens",
+        b.cast("long").alias("_b"),
         F.explode(F.sequence(F.lit(0).cast("long"), rel_last.cast("long"))).alias("k"),
     )
+    b = F.col("_b")
     doc_from = F.greatest(F.lit(0), k * b - F.col("offset"))
     doc_to = F.least(F.col("n_tokens"), (k + 1) * b - F.col("offset"))
     return rows.select(

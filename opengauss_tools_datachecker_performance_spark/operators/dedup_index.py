@@ -187,6 +187,85 @@ def update_minhash_index(
     return n
 
 
+def ingest_batch(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket_size: int = 50,
+    coverage_out: dict | None = None,
+) -> tuple[DataFrame, int]:
+    """Detect-and-index in ONE shingle/minhash pass over the batch
+    text → (verified batch-involving pairs, n docs indexed).
+
+    Running detection and :func:`update_minhash_index` back-to-back
+    shingles/minhashes the batch twice — the dominant per-batch cost
+    the index exists to eliminate. Here the batch's (buckets,
+    shingles) frames are computed once, persisted, written into the
+    index's ``batch=`` subdirs, and the SAME cached frames feed
+    detection against the other batches' stored state.
+
+    Detection compares against the OTHER batches only, with this
+    batch's frames recomputed from text — so a replay of a
+    crashed/partial ingest both repairs the index subdirs and
+    re-emits the batch's pairs (idempotent output, unlike the
+    detect-then-update composition which emits nothing on replay).
+
+    The persisted frames are registered in ``coverage_out`` 's
+    ``persisted`` list (same release discipline as
+    ``incremental_near_duplicates``); with ``coverage_out=None`` the
+    caller is responsible for unpersisting after materializing the
+    pairs."""
+    key = _batch_key(new_docs, id_col)
+    bpath = os.path.join(path, "buckets.parquet")
+    spath = os.path.join(path, "shingles.parquet")
+    others_b = (
+        spark.read.parquet(bpath).filter(F.col("batch") != key).drop("batch")
+    )
+    others_s = (
+        spark.read.parquet(spath).filter(F.col("batch") != key).drop("batch")
+    )
+    fresh = _without_indexed(new_docs, others_b, id_col)
+    b, s = minhash_index_frames(
+        fresh, id_col, text_col, shingle_k, num_hashes, bands
+    )
+    b, s = b.persist(), s.persist()
+    if coverage_out is not None:
+        coverage_out.setdefault("persisted", []).extend([b, s])
+    # the writes materialize (and cache) both frames — one text pass
+    n = b.select("doc_id").distinct().count()
+    if n == 0:
+        import shutil
+
+        for t in ("buckets.parquet", "shingles.parquet"):
+            shutil.rmtree(
+                os.path.join(path, t, f"batch={key}"), ignore_errors=True
+            )
+    else:
+        _overwrite_batch(b, bpath, key)
+        _overwrite_batch(s, spath, key)
+    pairs = incremental_near_duplicates(
+        others_b,
+        others_s,
+        fresh,
+        id_col,
+        text_col,
+        threshold,
+        shingle_k,
+        num_hashes,
+        bands,
+        max_bucket_size,
+        coverage_out,
+        _new_frames=(b, s),
+    )
+    return pairs, n
+
+
 def incremental_near_duplicates(
     index_buckets: DataFrame,
     index_shingles: DataFrame,
@@ -199,18 +278,27 @@ def incremental_near_duplicates(
     bands: int = 4,
     max_bucket_size: int = 50,
     coverage_out: dict | None = None,
+    _new_frames: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """→ (id_a, id_b, jaccard): verified near-dup pairs that involve
     at least one NEW doc — new-vs-corpus and new-vs-new — without
     reading any corpus text. Equals minhash_near_duplicates over
-    (corpus ∪ batch) filtered to batch-involving pairs (tested)."""
-    # a batch doc already present in the index is not "new" — keeping
-    # it would double its bucket/shingle rows in the unions below and
-    # corrupt the exact-Jaccard counts
-    new_docs = _without_indexed(new_docs, index_buckets, id_col)
-    new_buckets, new_shingles = minhash_index_frames(
-        new_docs, id_col, text_col, shingle_k, num_hashes, bands
-    )
+    (corpus ∪ batch) filtered to batch-involving pairs (tested).
+
+    ``_new_frames`` lets :func:`ingest_batch` hand in the batch's
+    (buckets, shingles) frames it already computed (and persisted) so
+    detection and index maintenance share ONE shingle/minhash pass;
+    when given, ``new_docs`` must already exclude indexed ids."""
+    if _new_frames is None:
+        # a batch doc already present in the index is not "new" —
+        # keeping it would double its bucket/shingle rows in the
+        # unions below and corrupt the exact-Jaccard counts
+        new_docs = _without_indexed(new_docs, index_buckets, id_col)
+        new_buckets, new_shingles = minhash_index_frames(
+            new_docs, id_col, text_col, shingle_k, num_hashes, bands
+        )
+    else:
+        new_buckets, new_shingles = _new_frames
     union = index_buckets.select(
         "doc_id", "band", "band_key", F.lit(False).alias("is_new")
     ).unionByName(

@@ -3,6 +3,7 @@
 from pyspark.sql import functions as F
 
 from opengauss_tools_datachecker_performance_spark.operators.curation import (
+    pack_manifest,
     stratified_sample,
     token_pack_plan,
 )
@@ -71,7 +72,7 @@ def test_pack_manifest_reconstructs_streams(spark):
     budget = 7
     docs = _docs(spark)
     plan = token_pack_plan(docs, budget, n_shards=4)
-    man = pack_manifest(plan, budget).collect()
+    man = pack_manifest(plan).collect()  # budget travels with the plan
     n_tok = {r["doc_id"]: r["n_tokens"] for r in plan.collect()}
 
     by_doc, by_bin = {}, {}
@@ -106,3 +107,42 @@ def test_token_pack_plan_is_jvm_side(spark):
     out = token_pack_plan(_docs(spark), 16, n_shards=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "PythonRDD" not in plan
+
+
+def test_token_pack_plan_null_and_empty_text(spark):
+    """NULL text counts as 0 tokens (not NULL/-1, which would corrupt
+    the shard cumsum) and still receives a placement; the doc after a
+    NULL doc packs as if the NULL doc were empty."""
+    d = spark.createDataFrame(
+        [("1", None), ("2", "a b c"), ("3", ""), ("4", "d e")],
+        "doc_id string, text string",
+    )
+    rows = {r["doc_id"]: r for r in token_pack_plan(d, 4, n_shards=1).collect()}
+    assert len(rows) == 4
+    assert rows["1"]["n_tokens"] == 0 and rows["3"]["n_tokens"] == 0
+    # total stream length is unaffected by the zero-token docs
+    assert sum(r["n_tokens"] for r in rows.values()) == 5
+    starts = sorted(
+        r["bin"] * 4 + r["offset"] for r in rows.values()
+    )
+    assert starts[0] == 0 and starts[-1] <= 5
+    # and the manifest simply omits them
+    man = pack_manifest(token_pack_plan(d, 4, n_shards=1)).collect()
+    assert {r["doc_id"] for r in man} == {"2", "4"}
+
+
+def test_pack_manifest_budget_contract(spark):
+    """The plan carries its budget: passing a (possibly different)
+    budget alongside it is an error, and a plan without the column
+    requires the explicit argument."""
+    import pytest
+
+    plan = token_pack_plan(_docs(spark, n=10), 7, n_shards=2)
+    with pytest.raises(ValueError, match="already carries"):
+        pack_manifest(plan, 8)
+    with pytest.raises(ValueError, match="no budget"):
+        pack_manifest(plan.drop("budget"))
+    # external plan without the column: explicit budget still works
+    a = pack_manifest(plan.drop("budget"), 7).collect()
+    b = pack_manifest(plan).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

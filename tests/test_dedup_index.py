@@ -170,6 +170,68 @@ def test_cli_incremental_near_dup(spark, tmp_path):
     assert "2000" in ids  # the novel batch doc got indexed
 
 
+def test_ingest_batch_single_pass_equivalence(spark, tmp_path):
+    """ingest_batch == detect-then-update composition: identical pairs
+    AND identical index contents, with one shingle pass instead of
+    two. Replay re-emits the same pairs (idempotent output)."""
+    from opengauss_tools_datachecker_performance_spark.operators.dedup_index import (
+        ingest_batch,
+    )
+
+    corpus = _corpus(spark)
+    batch = _batch(spark, corpus)
+
+    # reference: the two-call composition
+    ref_idx = str(tmp_path / "ref_idx")
+    write_minhash_index(corpus, ref_idx)
+    rb, rs = read_minhash_index(spark, ref_idx)
+    ref_pairs = _pairs_set(
+        incremental_near_duplicates(rb, rs, batch, threshold=0.2)
+    )
+    ref_n = update_minhash_index(spark, ref_idx, batch)
+
+    idx = str(tmp_path / "idx")
+    write_minhash_index(corpus, idx)
+    pairs, n = ingest_batch(spark, idx, batch, threshold=0.2)
+    got = _pairs_set(pairs)
+    assert got == ref_pairs and len(got) > 0
+    assert n == ref_n
+
+    def _index_rows(path):
+        b, s = read_minhash_index(spark, path)
+        return (
+            sorted(map(tuple, b.collect())),
+            sorted(map(tuple, s.collect())),
+        )
+
+    assert _index_rows(idx) == _index_rows(ref_idx)
+
+    # replay: same pairs again (unlike the composition, which goes
+    # silent once the batch is indexed), same index contents
+    pairs2, n2 = ingest_batch(spark, idx, batch, threshold=0.2)
+    assert _pairs_set(pairs2) == ref_pairs
+    assert n2 == ref_n  # replay overwrites its own subdirs
+    assert _index_rows(idx) == _index_rows(ref_idx)
+
+
+def test_cli_near_dup_flag_validation(spark, tmp_path):
+    """Inconsistent near-dup flag combinations abort instead of
+    silently skipping detection or the index update."""
+    import pytest
+
+    from opengauss_tools_datachecker_performance_spark.__main__ import main
+
+    base = ["--source", str(tmp_path / "nope.parquet"),
+            "--report-dir", str(tmp_path / "r")]
+    with pytest.raises(SystemExit) as e1:
+        main(base + ["--near-dup-table", "x.parquet",
+                     "--near-dup-update-index"], spark=spark)
+    assert e1.value.code == 2
+    with pytest.raises(SystemExit) as e2:
+        main(base + ["--near-dup-index", str(tmp_path / "idx")], spark=spark)
+    assert e2.value.code == 2
+
+
 def test_incremental_plan_reads_no_corpus_text(spark):
     """The incremental plan must not contain the corpus text scan —
     only the thin index frames and the batch."""
