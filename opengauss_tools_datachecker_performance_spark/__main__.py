@@ -332,7 +332,12 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 )
             elif stale:
                 os.makedirs(args.report_dir, exist_ok=True)
-                stale_df.coalesce(1).write.mode("overwrite").parquet(
+                # record WHICH audit level detected the staleness: a
+                # later, weaker-audited run must not treat its own pass
+                # as clearing findings it could not have re-checked
+                stale_df.withColumn(
+                    "audit_level", F.lit(args.companion_audit)
+                ).coalesce(1).write.mode("overwrite").parquet(
                     os.path.join(args.report_dir, "companion_stale.parquet")
                 )
                 why = (
@@ -354,12 +359,39 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 docs_sink, sink_part_col = comp, "part"
         # audits passed (or repaired): a companion_stale.parquet left
         # by a previously-aborted run in this report dir is stale info
-        import shutil
+        # — but only if THIS run's audit is at least as strong as the
+        # one that wrote it. A 'none'-level rerun passing its presence
+        # check has not re-examined what a 'full' audit flagged;
+        # deleting the marker would destroy the only record of
+        # known-stale partitions while the staleness is unresolved.
+        marker = os.path.join(args.report_dir, "companion_stale.parquet")
+        if os.path.isdir(marker):
+            rank = {"none": 0, "ledger": 1, "full": 2}
+            try:
+                prev_levels = {
+                    r[0]
+                    for r in spark.read.parquet(marker)
+                    .select("audit_level")
+                    .distinct()
+                    .collect()
+                }
+            except Exception:
+                # pre-audit_level marker (older layout): treat as full
+                prev_levels = {"full"}
+            prev = max(rank.get(lv, 2) for lv in prev_levels)
+            if rank[args.companion_audit] >= prev:
+                import shutil
 
-        shutil.rmtree(
-            os.path.join(args.report_dir, "companion_stale.parquet"),
-            ignore_errors=True,
-        )
+                shutil.rmtree(marker, ignore_errors=True)
+            else:
+                print(
+                    "[companion] WARNING: companion_stale.parquet was "
+                    "written by a stronger audit "
+                    f"({', '.join(sorted(prev_levels))}) than this "
+                    f"run's --companion-audit {args.companion_audit}; "
+                    "keeping the marker — re-run at that level (or "
+                    "--companion-repair) to clear it"
+                )
 
     # Partition universe = source ∪ sink: a partition wholesale-deleted
     # from the source still exists in the sink and must surface its
@@ -527,6 +559,27 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             )
 
             idx_b, idx_s = read_minhash_index(spark, args.near_dup_index)
+            # a batch doc already in the index contributes NO pairs
+            # here (its pairs were emitted when it was first ingested)
+            # — say so, or a replayed/pre-ingested batch looks falsely
+            # clean. The probe is one small join against the thin
+            # bucket table.
+            batch_ids = nd_table.select(
+                F.col("doc_id").cast("string").alias("doc_id")
+            ).distinct()
+            n_already = (
+                idx_b.join(F.broadcast(batch_ids), "doc_id", "left_semi")
+                .select("doc_id")
+                .distinct()
+                .count()
+            )
+            if n_already:
+                print(
+                    f"[near-dup] WARNING: {n_already} batch docs are "
+                    "already indexed and are skipped by detect-only "
+                    "mode (their pairs were reported at ingest); "
+                    "re-run with --near-dup-update-index to re-emit"
+                )
             pairs = incremental_near_duplicates(
                 idx_b,
                 idx_s,

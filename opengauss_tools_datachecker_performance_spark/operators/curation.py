@@ -134,13 +134,16 @@ def pack_manifest(plan: DataFrame, budget: int | None = None) -> DataFrame:
                 "budget argument (it would silently diverge from the "
                 "bin size the plan was packed with)"
             )
-        b = F.col("budget")
+        budget_expr = F.col("budget")
     elif budget is not None:
-        b = F.lit(budget)
+        budget_expr = F.lit(budget)
     else:
         raise ValueError("plan has no budget column and no budget given")
-    # relative index of the last bin this doc touches
-    rel_last = F.floor((F.col("offset") + F.col("n_tokens") - 1) / b)
+    # relative index of the last bin this doc touches — built against
+    # the PLAN-side budget expression; everything after the explode
+    # must instead use `b`, the budget column carried on the exploded
+    # rows (distinct names keep the phase boundary explicit)
+    rel_last = F.floor((F.col("offset") + F.col("n_tokens") - 1) / budget_expr)
     k = F.col("k")
     rows = plan.filter(F.col("n_tokens") > 0).select(
         "shard",
@@ -148,7 +151,7 @@ def pack_manifest(plan: DataFrame, budget: int | None = None) -> DataFrame:
         "doc_id",
         "offset",
         "n_tokens",
-        b.cast("long").alias("_b"),
+        budget_expr.cast("long").alias("_b"),
         F.explode(F.sequence(F.lit(0).cast("long"), rel_last.cast("long"))).alias("k"),
     )
     b = F.col("_b")

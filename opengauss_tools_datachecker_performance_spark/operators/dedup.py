@@ -71,7 +71,6 @@ def minhash_band_buckets(
     """→ (doc_id, band, band_key): LSH bucket assignment.  band_key is
     the portable hash of the band's signature slice, so two docs land
     in the same (band, band_key) iff that slice matches exactly."""
-    rows_per_band = num_hashes // bands
     # explode-first: shingle hashes as flat rows (codegen build, no
     # interpreted lambdas — functions.text.shingle_rows), then the
     # signature is num_hashes MIN aggregates of affine transforms, all
@@ -79,6 +78,18 @@ def minhash_band_buckets(
     # near-dup pipeline at sf0.1: 160 s (seeded-md5 array transforms)
     # → 19.6 s (affine over materialized arrays) → ~7 s (this form).
     rows = shingle_rows(df, id_col, text_col, shingle_k, distinct=False)
+    return minhash_buckets_from_shingle_rows(rows, num_hashes, bands)
+
+
+def minhash_buckets_from_shingle_rows(
+    rows: DataFrame, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """:func:`minhash_band_buckets` from an already-built NON-distinct
+    ``(doc_id, sh)`` shingle-rows frame — lets a caller that also needs
+    the shingle rows (e.g. the persisted index of
+    operators/dedup_index.py) pay for ONE text scan and derive both
+    index frames from the same cached rows."""
+    rows_per_band = num_hashes // bands
     sig = rows.groupBy("doc_id").agg(
         *[
             F.min(minhash_affine(F.col("sh"), a, b)).alias(f"_m{i}")

@@ -55,7 +55,7 @@ from opengauss_tools_datachecker_performance_spark.functions.text import shingle
 from opengauss_tools_datachecker_performance_spark.operators.dedup import (
     jaccard_for_pairs,
     lsh_candidate_pairs,
-    minhash_band_buckets,
+    minhash_buckets_from_shingle_rows,
 )
 
 
@@ -66,14 +66,21 @@ def minhash_index_frames(
     shingle_k: int = 3,
     num_hashes: int = 8,
     bands: int = 4,
+    rows: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """→ (buckets, shingles): the two persistable index frames for
     ``docs`` — exactly what minhash_near_duplicates computes
-    internally, as writable projections."""
-    buckets = minhash_band_buckets(
-        docs, id_col, text_col, shingle_k, num_hashes, bands
-    )
-    shingles = shingle_rows(docs, id_col, text_col, shingle_k, distinct=True)
+    internally, as writable projections.
+
+    Both frames derive from ONE non-distinct ``(doc_id, sh)``
+    shingle-rows lineage; pass a PERSISTED ``rows`` (built with
+    ``shingle_rows(docs, ..., distinct=False)``) to make that one text
+    scan literal — the writers below do, so indexing a batch
+    tokenizes/shingles its text exactly once."""
+    if rows is None:
+        rows = shingle_rows(docs, id_col, text_col, shingle_k, distinct=False)
+    buckets = minhash_buckets_from_shingle_rows(rows, num_hashes, bands)
+    shingles = rows.dropDuplicates(["doc_id", "sh"])
     return buckets, shingles
 
 
@@ -95,6 +102,29 @@ def _overwrite_batch(frame: DataFrame, path: str, batch: str) -> None:
     # discovery restores it on read); writing it into the files too
     # would be flagged as a duplicate column
     frame.write.mode("overwrite").parquet(os.path.join(path, f"batch={batch}"))
+
+
+def _drop_batch_subdirs(path: str, key: str) -> None:
+    """Remove a batch's (possibly partial, e.g. from a replayed crash)
+    subdirs from both index tables."""
+    import shutil
+
+    for t in ("buckets.parquet", "shingles.parquet"):
+        shutil.rmtree(os.path.join(path, t, f"batch={key}"), ignore_errors=True)
+
+
+def _read_others(
+    spark: SparkSession, path: str, key: str
+) -> tuple[DataFrame, DataFrame]:
+    """The index's (buckets, shingles) EXCLUDING batch ``key`` — the
+    partition filter prunes the batch= subdir at scan time, so a
+    replayed batch never reads its own possibly-partial prior write."""
+    return tuple(
+        spark.read.parquet(os.path.join(path, t))
+        .filter(F.col("batch") != key)
+        .drop("batch")
+        for t in ("buckets.parquet", "shingles.parquet")
+    )
 
 
 def write_minhash_index(
@@ -156,34 +186,33 @@ def update_minhash_index(
     bands: int = 4,
 ) -> int:
     """Index the batch into its own batch= subdirs, skipping docs
-    already indexed by OTHER batches. Returns the number of docs
-    written. Idempotent: a replay (including one that crashed between
-    the buckets and shingles writes) recomputes the same batch key —
-    excluding its own possibly-partial subdir from the probe — and
-    overwrites both subdirs."""
+    already indexed by OTHER batches. Returns the number of DISTINCT
+    doc ids written (the same count :func:`ingest_batch` reports, so
+    the two advertised-equivalent paths agree on batches that carry
+    duplicate id rows). Idempotent: a replay (including one that
+    crashed between the buckets and shingles writes) recomputes the
+    same batch key — excluding its own possibly-partial subdir from
+    the probe — and overwrites both subdirs."""
     key = _batch_key(new_docs, id_col)
-    bpath = os.path.join(path, "buckets.parquet")
-    buckets = spark.read.parquet(bpath)
-    others = buckets.filter(F.col("batch") != key).drop("batch")
-    fresh = _without_indexed(new_docs, others, id_col).persist()
+    others_b, _ = _read_others(spark, path, key)
+    fresh = _without_indexed(new_docs, others_b, id_col)
+    # one cached shingle pass feeds both index frames (and the count:
+    # every doc emits >=1 shingle row, empty text included)
+    rows = shingle_rows(fresh, id_col, text_col, shingle_k, distinct=False)
+    rows = rows.persist()
     try:
-        n = fresh.count()
+        n = rows.select("doc_id").distinct().count()
         if n == 0:
             # nothing new: remove a possibly-partial replayed subdir
-            import shutil
-
-            for t in ("buckets.parquet", "shingles.parquet"):
-                shutil.rmtree(
-                    os.path.join(path, t, f"batch={key}"), ignore_errors=True
-                )
+            _drop_batch_subdirs(path, key)
             return 0
         b, s = minhash_index_frames(
-            fresh, id_col, text_col, shingle_k, num_hashes, bands
+            fresh, id_col, text_col, shingle_k, num_hashes, bands, rows=rows
         )
-        _overwrite_batch(b, bpath, key)
+        _overwrite_batch(b, os.path.join(path, "buckets.parquet"), key)
         _overwrite_batch(s, os.path.join(path, "shingles.parquet"), key)
     finally:
-        fresh.unpersist()
+        rows.unpersist()
     return n
 
 
@@ -218,51 +247,54 @@ def ingest_batch(
 
     The persisted frames are registered in ``coverage_out`` 's
     ``persisted`` list (same release discipline as
-    ``incremental_near_duplicates``); with ``coverage_out=None`` the
-    caller is responsible for unpersisting after materializing the
-    pairs."""
+    ``incremental_near_duplicates``) — pass a dict and
+    :func:`~opengauss_tools_datachecker_performance_spark.operators.dedup.release`
+    it after materializing the pairs; with ``coverage_out=None`` the
+    cached detection frames stay pinned for the session (there is no
+    handle to release them by). On an error mid-ingest every frame persisted here is
+    released before the exception propagates (a long-lived session
+    must not accumulate cached partitions from failed ingests)."""
     key = _batch_key(new_docs, id_col)
-    bpath = os.path.join(path, "buckets.parquet")
-    spath = os.path.join(path, "shingles.parquet")
-    others_b = (
-        spark.read.parquet(bpath).filter(F.col("batch") != key).drop("batch")
-    )
-    others_s = (
-        spark.read.parquet(spath).filter(F.col("batch") != key).drop("batch")
-    )
+    others_b, others_s = _read_others(spark, path, key)
     fresh = _without_indexed(new_docs, others_b, id_col)
-    b, s = minhash_index_frames(
-        fresh, id_col, text_col, shingle_k, num_hashes, bands
-    )
-    b, s = b.persist(), s.persist()
+    # ONE cached shingle pass feeds the index write AND detection
+    rows = shingle_rows(fresh, id_col, text_col, shingle_k, distinct=False)
+    persisted = [rows.persist()]
+    try:
+        b, s = minhash_index_frames(
+            fresh, id_col, text_col, shingle_k, num_hashes, bands, rows=rows
+        )
+        persisted.extend([b.persist(), s.persist()])
+        n = rows.select("doc_id").distinct().count()
+        if n == 0:
+            _drop_batch_subdirs(path, key)
+        else:
+            _overwrite_batch(b, os.path.join(path, "buckets.parquet"), key)
+            _overwrite_batch(s, os.path.join(path, "shingles.parquet"), key)
+        pairs = incremental_near_duplicates(
+            others_b,
+            others_s,
+            fresh,
+            id_col,
+            text_col,
+            threshold,
+            shingle_k,
+            num_hashes,
+            bands,
+            max_bucket_size,
+            coverage_out,
+            _new_frames=(b, s),
+        )
+    except BaseException:
+        for df in persisted:
+            df.unpersist()
+        raise
+    # rows was the ingest-internal cache; the writes above already
+    # populated b/s's caches from it, so it can be released here while
+    # b/s stay cached for the caller's pairs materialization
+    rows.unpersist()
     if coverage_out is not None:
         coverage_out.setdefault("persisted", []).extend([b, s])
-    # the writes materialize (and cache) both frames — one text pass
-    n = b.select("doc_id").distinct().count()
-    if n == 0:
-        import shutil
-
-        for t in ("buckets.parquet", "shingles.parquet"):
-            shutil.rmtree(
-                os.path.join(path, t, f"batch={key}"), ignore_errors=True
-            )
-    else:
-        _overwrite_batch(b, bpath, key)
-        _overwrite_batch(s, spath, key)
-    pairs = incremental_near_duplicates(
-        others_b,
-        others_s,
-        fresh,
-        id_col,
-        text_col,
-        threshold,
-        shingle_k,
-        num_hashes,
-        bands,
-        max_bucket_size,
-        coverage_out,
-        _new_frames=(b, s),
-    )
     return pairs, n
 
 

@@ -134,3 +134,45 @@ def test_cli_companion_ledger_audit_catches_row_drift(spark, tmp_path):
     s_seed = json.load(open(os.path.join(str(tmp_path / "seed"), "summary.json")))
     s_fixed = json.load(open(os.path.join(str(tmp_path / "fixed"), "summary.json")))
     assert s_seed["constraints"] == s_fixed["constraints"]
+
+
+def test_cli_stale_marker_survives_weaker_audit(spark, tmp_path):
+    """A companion_stale.parquet written by a FULL audit must survive a
+    later run whose weaker (default 'none') audit passes — that run
+    never re-examined the flagged digests, so deleting the marker
+    would destroy the only record of the unresolved staleness. A rerun
+    at the original level re-detects; repair at that level clears."""
+    corpus = _setup(spark, tmp_path)
+    comp_path = f"{corpus}/comp_source"
+    # digest-only corruption: same row count, shifted v_hash — exactly
+    # the staleness class only --companion-audit full can see
+    part1 = spark.read.parquet(comp_path).filter(F.col("part") == 1).drop("part")
+    part1.withColumn("v_hash", F.col("v_hash") + F.lit(1)).localCheckpoint(
+        eager=True
+    ).write.mode("overwrite").parquet(os.path.join(comp_path, "part=1"))
+
+    rdir = str(tmp_path / "weak")
+    comp_args = _args(corpus) + [
+        "--source-companion", comp_path, "--report-dir", rdir,
+    ]
+    rc = main(comp_args + ["--companion-audit", "full"], spark=spark)
+    assert rc == 2
+    marker = os.path.join(rdir, "companion_stale.parquet")
+    rows = spark.read.parquet(marker).collect()
+    assert {r["part"] for r in rows} == {1}
+    assert {r["audit_level"] for r in rows} == {"full"}
+
+    # weaker rerun into the SAME report dir: presence audit passes,
+    # run proceeds (seeded violations -> 1), marker must survive
+    rc = main(comp_args, spark=spark)
+    assert rc == 1
+    assert os.path.isdir(marker)
+    assert {r["part"] for r in spark.read.parquet(marker).collect()} == {1}
+
+    # repair at the detecting level clears the marker
+    rc = main(
+        comp_args + ["--companion-audit", "full", "--companion-repair"],
+        spark=spark,
+    )
+    assert rc == 1
+    assert not os.path.exists(marker)

@@ -248,3 +248,33 @@ def test_incremental_plan_reads_no_corpus_text(spark):
     out = incremental_near_duplicates(buckets, shingles, batch, threshold=0.2)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "PythonRDD" not in plan
+
+
+def test_duplicate_id_rows_count_parity(spark, tmp_path):
+    """A batch carrying duplicate rows for the same doc_id: the two
+    advertised-equivalent paths (ingest_batch vs detect-then-update)
+    must report the same indexed-doc count — DISTINCT ids, not raw
+    rows — and produce identical index contents."""
+    from opengauss_tools_datachecker_performance_spark.operators.dedup_index import (
+        ingest_batch,
+    )
+
+    corpus = _corpus(spark)
+    dup_batch = spark.createDataFrame(
+        [("7000", "one re-exported doc duplicated upstream"),
+         ("7000", "one re-exported doc duplicated upstream"),
+         ("7001", "a second novel doc")],
+        "doc_id string, text string",
+    )
+    ref_idx, idx = str(tmp_path / "ref"), str(tmp_path / "one")
+    write_minhash_index(corpus, ref_idx)
+    write_minhash_index(corpus, idx)
+    n_ref = update_minhash_index(spark, ref_idx, dup_batch)
+    _, n = ingest_batch(spark, idx, dup_batch, threshold=0.2)
+    assert n == n_ref == 2
+
+    def _rows(path):
+        b, s = read_minhash_index(spark, path)
+        return sorted(map(tuple, b.collect())), sorted(map(tuple, s.collect()))
+
+    assert _rows(idx) == _rows(ref_idx)
