@@ -132,17 +132,20 @@ def main() -> None:
     # 5-10× back-to-back), and min is the noise-robust estimator of
     # the job's true cost on a quiet machine.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    bench_validate_docs(spark, corpus_dir)  # warmup (untimed)
-    times = []
-    for _ in range(reps):
-        dt, info = bench_validate_docs(spark, corpus_dir)
-        times.append(dt)
-    dt = min(times)
-    queries["validate_docs"] = round(dt, 3)
-    extras.update(info)
     extras["n_docs"] = N_DOCS
-    extras["docs_per_sec"] = round(N_DOCS / dt, 1)
-    extras["validate_docs_all_reps"] = [round(t, 3) for t in times]
+    # SPARK_GRAFT_BENCH_RAW=0 skips the raw-layout flagship so a
+    # companion-only scaling sweep's subprocesses measure one workload
+    if os.environ.get("SPARK_GRAFT_BENCH_RAW", "1") != "0":
+        bench_validate_docs(spark, corpus_dir)  # warmup (untimed)
+        times = []
+        for _ in range(reps):
+            dt, info = bench_validate_docs(spark, corpus_dir)
+            times.append(dt)
+        dt = min(times)
+        queries["validate_docs"] = round(dt, 3)
+        extras.update(info)
+        extras["docs_per_sec"] = round(N_DOCS / dt, 1)
+        extras["validate_docs_all_reps"] = [round(t, 3) for t in times]
 
     # the same validation over ingest-time digest companions (X2b,
     # sources/prehashed.py) — the recommended production layout:
@@ -157,6 +160,7 @@ def main() -> None:
         cdt = min(ctimes)
         queries["validate_docs_companion"] = round(cdt, 3)
         extras["docs_per_sec_companion"] = round(N_DOCS / cdt, 1)
+        extras["validate_docs_companion_all_reps"] = [round(t, 3) for t in ctimes]
 
     # operator benches over the driver testdata tables
     from opengauss_tools_datachecker_performance_spark.entry_queries import QUERIES

@@ -34,6 +34,14 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+#: which validate workload the sweep measures:
+#:   raw        (default) — body-scanning flagship, queries.validate_docs
+#:   companion  — ingest-time digest-companion layout (X2b),
+#:                queries.validate_docs_companion
+WORKLOAD = os.environ.get("SPARK_GRAFT_SCALING_WORKLOAD", "raw")
+QKEY = {"raw": "validate_docs", "companion": "validate_docs_companion"}[WORKLOAD]
+
+
 def run_bench(cpus: int, n_docs: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
@@ -47,9 +55,13 @@ def run_bench(cpus: int, n_docs: int) -> dict:
     # scaling efficiency is judged on the flagship only — skip the
     # per-operator benches so each subprocess is pure validate reps
     env.setdefault("SPARK_GRAFT_BENCH_OPS", "0")
-    # ... and the companion-layout rep (X2b) for the same reason: the
-    # N-vs-4N pair tracks one workload, the raw-layout flagship
-    env.setdefault("SPARK_GRAFT_BENCH_COMPANION", "0")
+    # ... and measure exactly ONE validate workload per subprocess:
+    # the raw-layout flagship by default, or the companion layout when
+    # SPARK_GRAFT_SCALING_WORKLOAD=companion
+    env.setdefault(
+        "SPARK_GRAFT_BENCH_COMPANION", "1" if WORKLOAD == "companion" else "0"
+    )
+    env.setdefault("SPARK_GRAFT_BENCH_RAW", "0" if WORKLOAD == "companion" else "1")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, env=env, cwd=REPO, timeout=7200,
@@ -80,17 +92,20 @@ def main():
         for cpus in levels:
             r = run_bench(cpus, n_docs)
             results[cpus].append(r)
+            dps = r.get(
+                "docs_per_sec" if WORKLOAD == "raw" else "docs_per_sec_companion"
+            )
             print(
-                f"iter {i} local[{cpus}]: validate={r['queries']['validate_docs']}s "
-                f"docs/sec={r['docs_per_sec']} all_reps={r.get('validate_docs_all_reps')}",
+                f"iter {i} local[{cpus}]: validate={r['queries'][QKEY]}s "
+                f"docs/sec={dps} all_reps={r.get(QKEY + '_all_reps')}",
                 flush=True,
             )
 
     def t_best(c):
-        return min(r["queries"]["validate_docs"] for r in results[c])
+        return min(r["queries"][QKEY] for r in results[c])
 
     def t_med(c):
-        return statistics.median(r["queries"]["validate_docs"] for r in results[c])
+        return statistics.median(r["queries"][QKEY] for r in results[c])
 
     pairs = [(n, 4 * n) for n in levels if 4 * n in levels]
     rows = "\n".join(
@@ -104,11 +119,17 @@ def main():
     )
     raw = "\n".join(
         f"- local[{c}]: "
-        + str([r["queries"]["validate_docs"] for r in results[c]])
+        + str([r["queries"][QKEY] for r in results[c]])
         for c in levels
+    )
+    layout_note = (
+        "raw-layout (body-scanning) validation"
+        if WORKLOAD == "raw"
+        else "digest-COMPANION (body-free, X2b) validation"
     )
     md = f"""# BENCH — measured performance & scaling (this engine)
 
+Workload: {layout_note}.
 Methodology: full interleaved-doc validation (digest tree + two-phase
 diff + uniqueness + referential + null-rule + drift) over the
 deterministic synthetic corpus of {n_docs:,} heavy docs per side
@@ -158,9 +179,12 @@ compared per run.
     # BENCH/BASELINE.md carries hand-curated analysis on top of a past
     # generated run — don't clobber it by default; set the env var to
     # write elsewhere and merge numbers by hand.
-    out = os.environ.get(
-        "SPARK_GRAFT_SCALING_OUT", os.path.join(REPO, "BENCH", "BASELINE.md")
+    default_out = (
+        os.path.join(REPO, "BENCH", "BASELINE.md")
+        if WORKLOAD == "raw"
+        else os.path.join(REPO, "BENCH", f"scaling_{WORKLOAD}.md")
     )
+    out = os.environ.get("SPARK_GRAFT_SCALING_OUT", default_out)
     with open(out, "w") as f:
         f.write(md)
     print(md)
