@@ -57,6 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--assets", default=None, help="asset catalog for referential check")
     p.add_argument("--report-dir", required=True, help="report output directory")
     p.add_argument("--checkpoint-dir", default=None, help="lineage ledger directory")
+    p.add_argument(
+        "--baseline-report-dir", default=None,
+        help="a previous run's report dir: this run's violations are "
+             "diffed against it (regression.parquet + new/resolved/"
+             "persisting counts in summary.json)",
+    )
     p.add_argument("--resume", action="store_true", help="skip partitions already 'done' in the ledger")
     p.add_argument("--partition-col", default="part")
     p.add_argument("--drift-threshold", type=float, default=0.15)
@@ -421,7 +427,11 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                     os.path.join(args.report_dir, "drift_profiles.parquet")
                 ):
                     _finalize_drift(spark, args.report_dir, args.drift_threshold)
-                summarize_dir(spark, args.report_dir)
+                summarize_dir(
+                    spark,
+                    args.report_dir,
+                    baseline_dir=args.baseline_report_dir,
+                )
             except Exception:
                 pass
             if own_session:
@@ -606,9 +616,16 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         schema_ok=schema_ok,
         schema_message=schema_msg,
         coverage=coverage,
+        baseline_dir=args.baseline_report_dir,
     )
     ok = summary["result"] == "success"
     print(f"[validate] run={run_id} result={summary['result']}")
+    if "regression" in summary:
+        r = summary["regression"]
+        print(
+            f"[regression] vs {r['baseline_dir']}: {r['new']} new, "
+            f"{r['resolved']} resolved, {r['persisting']} persisting"
+        )
     if own_session:
         spark.stop()
     return 0 if ok else 1

@@ -406,3 +406,73 @@ def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     plan = token_pack_plan(d, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS)
     return pack_manifest(plan)
+
+
+# --- run-to-run report regression -----------------------------------
+
+#: two synthetic "runs" over documents: the previous run flagged short
+#: docs under a 500-char rule; the current run flags 300..700. The
+#: overlap exercises all three change classes (persisting 300..<500,
+#: resolved <300, new 500..700 — 218/244/38 rows at sf0.01).
+_SQL_REG_VIO = """
+      SELECT CAST(doc_id % 8 AS BIGINT) AS part,
+             'min_chars' AS "constraint",
+             CAST(doc_id AS VARCHAR) AS key,
+             CAST(-1 AS BIGINT) AS span_idx,
+             'n_chars' AS detail
+      FROM documents WHERE {pred}
+"""
+
+
+@query(
+    "report_regression",
+    f"""
+    WITH prev AS ({_SQL_REG_VIO.format(pred='n_chars < 500')}),
+    cur AS ({_SQL_REG_VIO.format(pred='n_chars BETWEEN 300 AND 700')})
+    SELECT COALESCE(c.part, p.part) AS part,
+           COALESCE(c."constraint", p."constraint") AS "constraint",
+           COALESCE(c.key, p.key) AS key,
+           COALESCE(c.span_idx, p.span_idx) AS span_idx,
+           COALESCE(c.detail, p.detail) AS detail,
+           CASE WHEN p.key IS NULL THEN 'new'
+                WHEN c.key IS NULL THEN 'resolved'
+                ELSE 'persisting' END AS change
+    FROM cur c FULL OUTER JOIN prev p
+      ON c.part = p.part AND c."constraint" = p."constraint"
+     AND c.key = p.key AND c.span_idx = p.span_idx AND c.detail = p.detail
+    """,
+)
+def q_report_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-to-run violation diff (plans.report.run_regression): the
+    operator behind --baseline-report-dir, classifying each violation
+    identity as new / resolved / persisting across two runs. Reference
+    parity: users line up successive report trees
+    (SliceCheckResultManager.refreshSummary:218-232 keeps per-table
+    totals stable across runs); this makes the comparison itself a
+    distributed operator."""
+    from opengauss_tools_datachecker_performance_spark.plans.report import (
+        run_regression,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+
+    def vio(pred):
+        return d.filter(pred).select(
+            F.pmod(F.col("doc_id"), F.lit(8)).alias("part"),
+            F.lit("min_chars").alias("constraint"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.lit(None).cast("int").alias("span_idx"),
+            F.lit("n_chars").alias("detail"),
+        )
+
+    prev = vio(F.col("n_chars") < 500)
+    cur = vio((F.col("n_chars") >= 300) & (F.col("n_chars") <= 700))
+    reg = run_regression(cur, prev)
+    return reg.select(
+        F.col("part").cast("long").alias("part"),
+        "constraint",
+        "key",
+        F.col("span_idx").cast("long").alias("span_idx"),
+        "detail",
+        "change",
+    )

@@ -66,13 +66,18 @@ def summarize_dir(
     schema_ok: bool = True,
     schema_message: str = "",
     coverage: dict | None = None,
+    baseline_dir: str | None = None,
 ) -> dict:
     """Build summary.json + success/failed logs from the written
     frames (covers every chunk written so far, including those from a
     previous killed run). ``coverage``: plain counts of anything an
     operator DROPPED under a cap (mega-LSH-buckets, stop-shingles —
     operators.dedup.coverage_counts); they land in the summary so a
-    bounded-coverage run is never silently read as exhaustive."""
+    bounded-coverage run is never silently read as exhaustive.
+    ``baseline_dir``: a previous run's report dir — this run's
+    violations are diffed against it (:func:`run_regression`),
+    ``regression.parquet`` lands next to the frames, and the summary
+    gains new/resolved/persisting counts."""
     violations, verdicts = _read_frames(spark, out_dir)
     verdict_rows = verdicts.collect()  # grid: #parts × #constraints
     by_constraint: dict[str, dict] = {}
@@ -112,6 +117,27 @@ def summarize_dir(
     }
     if coverage:
         summary["coverage_bounds"] = dict(coverage)
+    if baseline_dir is not None:
+        prev, _ = _read_frames(spark, baseline_dir)
+        reg = run_regression(violations, prev).persist()
+        try:
+            reg.write.mode("overwrite").parquet(
+                os.path.join(out_dir, "regression.parquet")
+            )
+            counts = {
+                r["change"]: r["n"]
+                for r in reg.groupBy("change")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        finally:
+            reg.unpersist()
+        summary["regression"] = {
+            "baseline_dir": baseline_dir,
+            "new": counts.get("new", 0),
+            "resolved": counts.get("resolved", 0),
+            "persisting": counts.get("persisting", 0),
+        }
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2, sort_keys=True)
     # success.log / failed.log analogues
@@ -122,6 +148,48 @@ def summarize_dir(
     with open(os.path.join(out_dir, "failed.log"), "w") as f:
         f.writelines(f"partition {p}: fail\n" for p in failed)
     return summary
+
+
+#: the identity of one violation for run-to-run comparison
+_REGRESSION_KEY = ["part", "constraint", "key", "span_idx", "detail"]
+
+
+def _regression_norm(vio: DataFrame) -> DataFrame:
+    """Null-normalized distinct violation identities. Spark's
+    column-list joins treat NULL keys as non-matching, so a doc-level
+    violation (span_idx NULL) would classify as simultaneously new AND
+    resolved; pin every nullable field to a sentinel instead."""
+    return vio.select(
+        F.col("part").cast("int").alias("part"),
+        F.col("constraint").cast("string").alias("constraint"),
+        F.coalesce(F.col("key").cast("string"), F.lit("")).alias("key"),
+        F.coalesce(F.col("span_idx").cast("int"), F.lit(-1)).alias("span_idx"),
+        F.coalesce(F.col("detail").cast("string"), F.lit("")).alias("detail"),
+    ).distinct()
+
+
+def run_regression(cur: DataFrame, prev: DataFrame) -> DataFrame:
+    """Run-to-run violation diff → one row per violation identity seen
+    in either run, with ``change`` ∈ {new, resolved, persisting}.
+
+    The reference's users re-run checks after repairs and compare
+    successive report trees (summary.log/failed.log per run,
+    SliceCheckResultManager.refreshSummary:218-232 keeps per-table
+    totals exactly so runs can be lined up); this makes the comparison
+    an operator: ``new`` violations mean the data regressed (or the
+    repair missed), ``resolved`` confirm the repair, ``persisting``
+    are the backlog. One full-outer join keyed on the violation
+    identity — violation-set sized, never corpus-sized, and AQE
+    broadcasts the smaller run when the delta is small."""
+    c = _regression_norm(cur).withColumn("_c", F.lit(True))
+    p = _regression_norm(prev).withColumn("_p", F.lit(True))
+    j = c.join(p, _REGRESSION_KEY, "full_outer")
+    change = (
+        F.when(F.col("_p").isNull(), F.lit("new"))
+        .when(F.col("_c").isNull(), F.lit("resolved"))
+        .otherwise(F.lit("persisting"))
+    )
+    return j.select(*_REGRESSION_KEY, change.alias("change"))
 
 
 class ProgressTracker:
