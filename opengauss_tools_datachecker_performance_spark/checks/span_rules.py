@@ -42,7 +42,10 @@ def span_rule_violations(docs: DataFrame, assets: DataFrame | None) -> DataFrame
     null_text = (F.col("kind") == "text") & F.col("text").isNull()
     if assets is not None:
         bad_refs = dangling_media_refs(docs, assets).withColumn("is_bad", F.lit(True))
-        flagged = exploded.join(F.broadcast(bad_refs), "media_ref", "left_outer")
+        # violation-sized in a healthy corpus but unbounded if the
+        # catalog is wholesale stale — AQE decides broadcast vs shuffle
+        # (same treatment as span_rule_violations_from_digests)
+        flagged = exploded.join(bad_refs, "media_ref", "left_outer")
         dangling = (F.col("kind") == "media") & F.coalesce(F.col("is_bad"), F.lit(False))
     else:
         flagged = exploded.withColumn("is_bad", F.lit(False))
