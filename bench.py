@@ -154,10 +154,17 @@ def main() -> None:
         comp_dir = _ensure_companions(spark, corpus_dir, cache_dir)
         bench_validate_docs(spark, corpus_dir, docs_dir=comp_dir)  # warmup
         ctimes = []
+        cinfo: dict = {}
         for _ in range(reps):
-            cdt, _info = bench_validate_docs(spark, corpus_dir, docs_dir=comp_dir)
+            cdt, cinfo = bench_validate_docs(spark, corpus_dir, docs_dir=comp_dir)
             ctimes.append(cdt)
         cdt = min(ctimes)
+        # companion-only sweeps (SPARK_GRAFT_BENCH_RAW=0) still need the
+        # validation-result counts in the JSON — without them a silently
+        # empty companion cache would be indistinguishable from a fast
+        # correct run
+        for k, v in cinfo.items():
+            extras.setdefault(k, v)
         queries["validate_docs_companion"] = round(cdt, 3)
         extras["docs_per_sec_companion"] = round(N_DOCS / cdt, 1)
         extras["validate_docs_companion_all_reps"] = [round(t, 3) for t in ctimes]

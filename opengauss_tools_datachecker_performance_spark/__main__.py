@@ -230,6 +230,15 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         parser.error(
             "--near-dup-index requires --near-dup-table (the new batch)"
         )
+    # a typo'd baseline dir must fail BEFORE the (potentially
+    # hours-long) validation, not in the final summarize_dir
+    if args.baseline_report_dir is not None and not os.path.isdir(
+        os.path.join(args.baseline_report_dir, "violations.parquet")
+    ):
+        parser.error(
+            "--baseline-report-dir has no violations.parquet: "
+            f"{args.baseline_report_dir}"
+        )
     own_session = spark is None
     if own_session:
         from opengauss_tools_datachecker_performance_spark.session import get_spark
@@ -459,8 +468,19 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             "verdicts.parquet",
             "drift_profiles.parquet",
             "repair.sql",  # stale repair chunks re-apply old DELETEs
+            "regression.parquet",  # describes a previous comparison
         ):
             shutil.rmtree(os.path.join(args.report_dir, frame), ignore_errors=True)
+    if not args.resume and not args.baseline_report_dir:
+        # fresh run without a baseline: a regression.parquet left by a
+        # previous run in this dir describes a DIFFERENT comparison and
+        # would sit next to a summary.json with no regression entry
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(args.report_dir, "regression.parquet"),
+            ignore_errors=True,
+        )
     chunks = (
         [pending[i : i + n] for i in range(0, len(pending), n)]
         if chunked and n > 0

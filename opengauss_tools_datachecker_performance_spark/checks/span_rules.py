@@ -43,9 +43,20 @@ def span_rule_violations(docs: DataFrame, assets: DataFrame | None) -> DataFrame
     if assets is not None:
         bad_refs = dangling_media_refs(docs, assets).withColumn("is_bad", F.lit(True))
         # violation-sized in a healthy corpus but unbounded if the
-        # catalog is wholesale stale — AQE decides broadcast vs shuffle
-        # (same treatment as span_rule_violations_from_digests)
-        flagged = exploded.join(bad_refs, "media_ref", "left_outer")
+        # catalog is wholesale stale. With AQE on (production default)
+        # the RUNTIME size decides broadcast vs shuffle; with AQE off
+        # Catalyst's static estimate of the anti-join side can exceed
+        # the broadcast threshold and shuffle the corpus-sized exploded
+        # frame instead — pin the broadcast there, accepting the
+        # wholesale-stale risk the static planner can't see.
+        aqe = (
+            docs.sparkSession.conf.get("spark.sql.adaptive.enabled", "true")
+            .lower()
+            == "true"
+        )
+        flagged = exploded.join(
+            bad_refs if aqe else F.broadcast(bad_refs), "media_ref", "left_outer"
+        )
         dangling = (F.col("kind") == "media") & F.coalesce(F.col("is_bad"), F.lit(False))
     else:
         flagged = exploded.withColumn("is_bad", F.lit(False))

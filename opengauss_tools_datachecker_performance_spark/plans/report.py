@@ -158,9 +158,12 @@ def _regression_norm(vio: DataFrame) -> DataFrame:
     """Null-normalized distinct violation identities. Spark's
     column-list joins treat NULL keys as non-matching, so a doc-level
     violation (span_idx NULL) would classify as simultaneously new AND
-    resolved; pin every nullable field to a sentinel instead."""
+    resolved; pin every nullable field to a sentinel instead — part
+    included (it is NULL-able too, e.g. docs with a NULL partition
+    value, and --partition-col may name a non-integer column, so it
+    normalizes through string, not int)."""
     return vio.select(
-        F.col("part").cast("int").alias("part"),
+        F.coalesce(F.col("part").cast("string"), F.lit("")).alias("part"),
         F.col("constraint").cast("string").alias("constraint"),
         F.coalesce(F.col("key").cast("string"), F.lit("")).alias("key"),
         F.coalesce(F.col("span_idx").cast("int"), F.lit(-1)).alias("span_idx"),

@@ -39,7 +39,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #:   companion  — ingest-time digest-companion layout (X2b),
 #:                queries.validate_docs_companion
 WORKLOAD = os.environ.get("SPARK_GRAFT_SCALING_WORKLOAD", "raw")
-QKEY = {"raw": "validate_docs", "companion": "validate_docs_companion"}[WORKLOAD]
+_QKEYS = {"raw": "validate_docs", "companion": "validate_docs_companion"}
+if WORKLOAD not in _QKEYS:
+    sys.exit(
+        f"SPARK_GRAFT_SCALING_WORKLOAD must be one of {sorted(_QKEYS)}, "
+        f"got {WORKLOAD!r}"
+    )
+QKEY = _QKEYS[WORKLOAD]
 
 
 def run_bench(cpus: int, n_docs: int) -> dict:

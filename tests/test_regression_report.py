@@ -45,14 +45,51 @@ def test_run_regression_classifies_and_null_normalizes(spark):
         for r in run_regression(cur, prev).collect()
     }
     assert got == {
-        (0, "min_chars", "7", -1, "persisting"),
-        (1, "diff", "8", 2, "resolved"),
-        (1, "diff", "9", 0, "persisting"),
-        (2, "referential", "10", 1, "new"),
+        ("0", "min_chars", "7", -1, "persisting"),
+        ("1", "diff", "8", 2, "resolved"),
+        ("1", "diff", "9", 0, "persisting"),
+        ("2", "referential", "10", 1, "new"),
     }
     # duplicate identities in either run collapse to one row
     dup = prev.unionByName(prev)
     assert run_regression(dup, prev).count() == 3
+
+
+def test_run_regression_null_and_string_parts(spark):
+    """part itself is a join key and may be NULL (docs with a NULL
+    partition value) or non-integer (--partition-col on a string date
+    column): both must still classify as ONE persisting row, not a
+    new+resolved pair."""
+    rows = [
+        (None, "min_chars", "7", None, None),
+        ("2024-01-03", "diff", "9", 0, "delete"),
+    ]
+    schema = (
+        "part string, constraint string, key string, span_idx int, "
+        "detail string"
+    )
+    prev = spark.createDataFrame(rows, schema)
+    cur = spark.createDataFrame(rows, schema)
+    out = run_regression(cur, prev).collect()
+    assert len(out) == 2
+    assert {r["change"] for r in out} == {"persisting"}
+    assert {r["part"] for r in out} == {"", "2024-01-03"}
+
+
+def test_cli_baseline_dir_validated_before_run(spark, tmp_path):
+    """A typo'd --baseline-report-dir must fail at argparse time, not
+    after the whole validation has run."""
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(
+            [
+                "--source", "unused.parquet",
+                "--report-dir", str(tmp_path / "r"),
+                "--baseline-report-dir", str(tmp_path / "nope"),
+            ],
+            spark=spark,
+        )
 
 
 def test_cli_baseline_report_dir(spark, tmp_path):
