@@ -1046,3 +1046,4 @@ from opengauss_tools_datachecker_performance_spark import entry_queries_wave6  #
 from opengauss_tools_datachecker_performance_spark import entry_queries_wave7  # noqa: E402,F401
 from opengauss_tools_datachecker_performance_spark import entry_queries_wave8  # noqa: E402,F401
 from opengauss_tools_datachecker_performance_spark import entry_queries_wave9  # noqa: E402,F401
+from opengauss_tools_datachecker_performance_spark import entry_queries_wave10  # noqa: E402,F401

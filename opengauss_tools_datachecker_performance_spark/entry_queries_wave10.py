@@ -1,0 +1,216 @@
+"""Driver-contract query catalog, wave 10: corpus hygiene operators.
+
+Three more first-class training-data-pipeline operators, each with a
+value-exact DuckDB oracle:
+
+* ``decontaminate`` — benchmark decontamination (GPT-3/Pile
+  discipline): flag corpus docs sharing ≥ 2 distinct k-shingles with a
+  held-out benchmark set (here: the ``doc_id % 23 = 0`` docs). The
+  benchmark's distinct shingle-hash set broadcasts; one corpus-side
+  groupBy does both counts (operators/decontamination.py).
+* ``repetition_stats`` — Gopher-style repetition signals (Rae et al.
+  2021): duplicate-token fraction + top-bigram coverage per doc, with
+  planted boilerplate on ``doc_id % 7 = 0`` docs.
+* ``pii_scan`` — PII-shaped substring counts (email / IPv4 / phone)
+  via RE2-safe regexp_count projections, with planted contacts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opengauss_tools_datachecker_performance_spark.entry_queries import (
+    _SQL_NORM,
+    _SQL_PHASH,
+    _SQL_SHINGLES,
+    _SQL_WS_TOKS,
+    _t,
+    query,
+)
+
+_TOKS = _SQL_WS_TOKS.format(t=_SQL_NORM.format(t="text"))
+
+
+@query(
+    "decontaminate",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform({_SQL_SHINGLES},
+                                          s -> {_SQL_PHASH.format(x='s')})) AS shset
+      FROM norm
+    ),
+    b AS (
+      SELECT DISTINCT unnest(shset) AS bsh FROM sh WHERE doc_id % 23 = 0
+    ),
+    flat AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, unnest(shset) AS s FROM sh
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_shingles, COUNT(b.bsh) AS n_shared
+      FROM flat LEFT JOIN b ON flat.s = b.bsh
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_shingles, n_shared,
+           n_shared::DOUBLE / n_shingles AS shared_frac,
+           n_shared >= 2 AS contaminated
+    FROM agg
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators.decontamination): corpus =
+    all documents, benchmark = the doc_id % 23 = 0 subset — those docs
+    must flag as contaminated (they ARE the benchmark), everything
+    else only via accidental shingle sharing, which the oracle counts
+    identically."""
+    from opengauss_tools_datachecker_performance_spark.operators.decontamination import (
+        decontaminate,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 23 == 0)
+    return decontaminate(d, bench, min_shared=2)
+
+
+_SQL_REP_DOCS = """
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' buy now buy now buy now'
+                  ELSE text END AS text
+      FROM documents
+"""
+
+
+@query(
+    "repetition_stats",
+    f"""
+    WITH docs2 AS ({_SQL_REP_DOCS}),
+    norm AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_TOKS} AS toks FROM docs2
+    ),
+    base AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_distinct_tokens,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i+1])
+                  ELSE [] END AS bigrams
+      FROM norm
+    ),
+    bc AS (
+      SELECT doc_id, bg, COUNT(*) AS n
+      FROM (SELECT doc_id, unnest(bigrams) AS bg FROM base)
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT doc_id, bg AS top_bigram, n,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY n DESC, bg ASC) AS rn
+      FROM bc
+    )
+    SELECT b.doc_id, b.n_tokens, b.n_distinct_tokens,
+           1.0::DOUBLE - b.n_distinct_tokens::DOUBLE / b.n_tokens
+             AS dup_token_frac,
+           t.top_bigram,
+           COALESCE(2.0::DOUBLE * t.n / b.n_tokens, 0.0::DOUBLE)
+             AS top_bigram_frac
+    FROM base b
+    LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals (functions.text.repetition_stats)
+    over documents with boilerplate planted on the % 7 docs."""
+    from opengauss_tools_datachecker_performance_spark.functions.text import (
+        repetition_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" buy now buy now buy now")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return repetition_stats(d)
+
+
+_SQL_PII_DOCS = """
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ' contact user' || doc_id || '@example.com now'
+                     ELSE '' END
+             || CASE WHEN doc_id % 17 = 0
+                     THEN ' host 10.' || (doc_id % 200) || '.0.7 up'
+                     ELSE '' END
+             || CASE WHEN doc_id % 19 = 0
+                     THEN ' call +1-555-' || (1000 + doc_id % 9000) || ' today'
+                     ELSE '' END AS text
+      FROM documents
+"""
+
+
+@query(
+    "pii_scan",
+    f"""
+    WITH docs2 AS ({_SQL_PII_DOCS})
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
+           len(regexp_extract_all(text,
+               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS n_ipv4,
+           len(regexp_extract_all(text,
+               '\\+\\d{{1,3}}-\\d{{3}}-\\d{{3,}}')) AS n_phone,
+           (len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) > 0
+            OR len(regexp_extract_all(text,
+               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) > 0
+            OR len(regexp_extract_all(text,
+               '\\+\\d{{1,3}}-\\d{{3}}-\\d{{3,}}')) > 0) AS has_pii
+    FROM docs2
+    """,
+)
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pattern pre-screen (functions.text.pii_scan) over documents
+    with synthetic contacts planted on the % 13 / % 17 / % 19 docs."""
+    from opengauss_tools_datachecker_performance_spark.functions.text import pii_scan
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 17 == 0,
+                F.concat(
+                    F.lit(" host 10."),
+                    (F.col("doc_id") % 200).cast("string"),
+                    F.lit(".0.7 up"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 19 == 0,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+                    F.lit(" today"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scan(planted)

@@ -332,3 +332,108 @@ def minhash_signature(text: Column, k: int = 3, num_hashes: int = 8) -> Column:
 # SimHash moved to operators/dedup.py (simhash_bands /
 # simhash_signature / simhash_near_duplicates): 60-bit over the
 # portable hash, explode-first codegen build, Hamming-band probing.
+
+
+# ---------------------------------------------------------------------------
+# Repetition / boilerplate statistics (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
+    """→ ``(doc_id, n_tokens, n_distinct_tokens, dup_token_frac,
+    top_bigram, top_bigram_frac)`` per doc — the Gopher repetition
+    signals (Rae et al. 2021 §A1.1): what fraction of the doc is
+    repeated tokens, and what fraction is covered by its single most
+    frequent word 2-gram (boilerplate/spam detector; thresholding is
+    the caller's policy, this exposes the measurements).
+
+    Explode-first formulation (the shingle_rows discipline): tokens as
+    flat rows, bigrams via window ``lead()`` over (doc_id, position),
+    both counts from partial-aggregated groupBys — whole-stage codegen
+    end to end, no interpreted array lambdas. The window's
+    doc_id-keyed shuffle is the SAME exchange every downstream groupBy
+    needs, so adding bigrams costs no extra data movement.
+    Ties on the top bigram resolve lexicographically (smallest wins)
+    so the result is deterministic and oracle-reproducible.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.posexplode(ws_tokens(normalized_text(F.col(text_col)))).alias(
+            "_i", "_tok"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("_i")
+    rows = toks.withColumn("_next", F.lead("_tok").over(w))
+    tok_agg = rows.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("_tok").alias("n_distinct_tokens"),
+    )
+    big_counts = (
+        rows.filter(F.col("_next").isNotNull())
+        .select(
+            "doc_id", F.concat_ws(" ", "_tok", "_next").alias("bigram")
+        )
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wb = Window.partitionBy("doc_id").orderBy(
+        F.col("n").desc(), F.col("bigram").asc()
+    )
+    top = (
+        big_counts.withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", F.col("bigram").alias("top_bigram"), F.col("n").alias("_top_n"))
+    )
+    dup_frac = F.lit(1.0) - (
+        F.col("n_distinct_tokens").cast("double")
+        / F.col("n_tokens").cast("double")
+    )
+    # top-bigram coverage: tokens covered by the winning 2-gram
+    # (2 tokens per occurrence) over all tokens — 0.0 for 1-token docs
+    top_frac = F.coalesce(
+        F.lit(2.0) * F.col("_top_n").cast("double")
+        / F.col("n_tokens").cast("double"),
+        F.lit(0.0),
+    )
+    return tok_agg.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        dup_frac.alias("dup_token_frac"),
+        "top_bigram",
+        top_frac.alias("top_bigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII pattern scan
+# ---------------------------------------------------------------------------
+
+#: RE2-safe patterns (no backrefs/lookaround) so a DuckDB oracle
+#: reproduces the counts exactly; Java regex reads them identically.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{1,3}-\d{3}-\d{3,}",
+}
+
+
+def pii_scan(df, id_col: str = "doc_id", text_col: str = "text"):
+    """→ ``(doc_id, n_email, n_ipv4, n_phone, has_pii)`` — per-doc
+    counts of PII-shaped substrings (a redaction/filter pre-screen, not
+    a guarantee). Pure ``regexp_count`` projections: narrow, no
+    shuffle, whole-stage codegen; at 100 TB this is a map-only scan
+    whose cost is the text decode it shares with every other text op."""
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(p)).alias(f"n_{name}")
+        for name, p in PII_PATTERNS.items()
+    ]
+    out = df.select(F.col(id_col).cast("string").alias("doc_id"), *counts)
+    any_hit = None
+    for name in PII_PATTERNS:
+        c = F.col(f"n_{name}") > 0
+        any_hit = c if any_hit is None else (any_hit | c)
+    return out.withColumn("has_pii", any_hit)

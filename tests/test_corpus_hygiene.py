@@ -1,0 +1,122 @@
+"""Corpus-hygiene operators: decontamination, repetition stats, PII
+scan (functions/text.py + operators/decontamination.py)."""
+
+from pyspark.sql import functions as F
+
+from opengauss_tools_datachecker_performance_spark.functions.text import (
+    pii_scan,
+    repetition_stats,
+)
+from opengauss_tools_datachecker_performance_spark.operators.decontamination import (
+    decontaminate,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_decontaminate_flags_exact_and_near_copies(spark):
+    bench = _docs(
+        spark,
+        [("b1", "the quick brown fox jumps over the lazy dog tonight")],
+    )
+    corpus = _docs(
+        spark,
+        [
+            # exact benchmark copy → every shingle shared
+            ("c1", "the quick brown fox jumps over the lazy dog tonight"),
+            # near copy (prefix changed) → most shingles still shared
+            ("c2", "a quick brown fox jumps over the lazy dog tonight"),
+            # unrelated → no shared shingles
+            ("c3", "completely different words about spark and parquet files"),
+            # single shared shingle ("the lazy dog") → below min_shared=2
+            ("c4", "walking past the lazy dog without any other overlap here"),
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_shared"], r["contaminated"])
+        for r in decontaminate(corpus, bench, min_shared=2).collect()
+    }
+    assert got["c1"][1] and got["c1"][0] == got_n_shingles(corpus, "c1", spark)
+    assert got["c2"][1] and got["c2"][0] >= 6
+    assert got["c3"] == (0, False)
+    assert got["c4"][0] == 1 and not got["c4"][1]
+
+
+def got_n_shingles(corpus, doc, spark):
+    from opengauss_tools_datachecker_performance_spark.functions.text import (
+        shingle_rows,
+    )
+
+    return (
+        shingle_rows(corpus, "doc_id", "text")
+        .filter(F.col("doc_id") == doc)
+        .count()
+    )
+
+
+def test_decontaminate_min_frac_gate(spark):
+    bench = _docs(spark, [("b1", "alpha beta gamma delta")])
+    corpus = _docs(
+        spark,
+        # shares the 2 benchmark shingles but they are a tiny fraction
+        # of this long doc — min_frac filters it out
+        [("c1", "alpha beta gamma delta " + " ".join(f"w{i}" for i in range(40)))],
+    )
+    loose = decontaminate(corpus, bench, min_shared=2).collect()[0]
+    strict = decontaminate(corpus, bench, min_shared=2, min_frac=0.5).collect()[0]
+    assert loose["contaminated"] and not strict["contaminated"]
+
+
+def test_repetition_stats_planted(spark):
+    d = _docs(
+        spark,
+        [
+            ("r1", "buy now buy now buy now"),          # 6 toks, 2 distinct
+            ("r2", "one two three four five six"),      # no repetition
+            ("r3", "single"),                            # 1 token, no bigram
+        ],
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(d).collect()}
+    r1 = got["r1"]
+    assert r1["n_tokens"] == 6 and r1["n_distinct_tokens"] == 2
+    assert abs(r1["dup_token_frac"] - (1 - 2 / 6)) < 1e-12
+    # bigrams: 'buy now' x3, 'now buy' x2 → top covers 6/6 tokens
+    assert r1["top_bigram"] == "buy now"
+    assert abs(r1["top_bigram_frac"] - 1.0) < 1e-12
+    r2 = got["r2"]
+    assert r2["dup_token_frac"] == 0.0
+    # all bigrams count 1 → lexicographic tie-break
+    assert r2["top_bigram"] == "five six"
+    assert abs(r2["top_bigram_frac"] - 2 / 6) < 1e-12
+    r3 = got["r3"]
+    assert r3["top_bigram"] is None and r3["top_bigram_frac"] == 0.0
+
+
+def test_pii_scan_counts(spark):
+    d = _docs(
+        spark,
+        [
+            ("p1", "mail a@b.org and c.d+e@f-g.co, server 10.0.0.7 up"),
+            ("p2", "call +1-555-12345 or +44-020-7946"),
+            ("p3", "nothing sensitive here, version 1.2 build 3"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in pii_scan(d).collect()}
+    assert got["p1"]["n_email"] == 2
+    assert got["p1"]["n_ipv4"] == 1 and got["p1"]["has_pii"]
+    assert got["p2"]["n_phone"] == 2
+    assert got["p3"]["n_email"] == 0
+    assert got["p3"]["n_ipv4"] == 0  # 1.2 / versions must not match
+    assert not got["p3"]["has_pii"]
+
+
+def test_decontaminate_benchmark_set_broadcasts(spark):
+    """The benchmark shingle set must reach the corpus-side join as a
+    broadcast (no corpus-sized shuffle) when broadcast_benchmark=True."""
+    bench = _docs(spark, [("b1", "alpha beta gamma delta epsilon")])
+    corpus = _docs(spark, [("c%d" % i, "alpha beta gamma delta epsilon word%d" % i) for i in range(20)])
+    out = decontaminate(corpus, bench)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
