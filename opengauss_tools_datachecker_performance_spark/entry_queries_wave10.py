@@ -214,3 +214,56 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return pii_scan(planted)
+
+
+_SQL_MIX_TOKS = _SQL_WS_TOKS.format(t="text")
+
+
+@query(
+    "mixing_plan",
+    f"""
+    WITH per_source AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(len({_SQL_MIX_TOKS})) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w(source, weight) AS (
+      VALUES ('src0', 3.0::DOUBLE), ('src1', 1.0::DOUBLE),
+             ('src2', 1.0::DOUBLE)
+    ),
+    j AS (
+      SELECT p.source, p.n_docs, p.n_tokens,
+             COALESCE(w.weight, 0.0::DOUBLE) AS weight
+      FROM per_source p LEFT JOIN w USING (source)
+    ),
+    t AS (
+      SELECT source, n_docs, n_tokens, weight,
+             CASE WHEN SUM(weight) OVER () > 0
+                  THEN (weight / SUM(weight) OVER ()) * 50000.0::DOUBLE
+                  ELSE 0.0::DOUBLE * 50000.0::DOUBLE END AS target_tokens
+      FROM j
+    )
+    SELECT source, n_docs, n_tokens, weight, target_tokens,
+           CASE WHEN n_tokens > 0
+                THEN target_tokens / CAST(n_tokens AS DOUBLE)
+                ELSE 0.0::DOUBLE END AS epochs,
+           LEAST(1.0::DOUBLE,
+                 CASE WHEN n_tokens > 0
+                      THEN target_tokens / CAST(n_tokens AS DOUBLE)
+                      ELSE 0.0::DOUBLE END) AS sample_rate
+    FROM t
+    """,
+)
+def q_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing plan (operators.curation.mixing_plan): src0 weighted
+    3×, src1/src2 1×, every other source weight 0 — target tokens,
+    oversampling epochs, and within-epoch sample_rate per source
+    against a 50k-token budget."""
+    from opengauss_tools_datachecker_performance_spark.operators.curation import (
+        mixing_plan,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return mixing_plan(
+        d, {"src0": 3.0, "src1": 1.0, "src2": 1.0}, token_budget=50_000
+    )

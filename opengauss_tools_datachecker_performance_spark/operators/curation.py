@@ -165,3 +165,71 @@ def pack_manifest(plan: DataFrame, budget: int | None = None) -> DataFrame:
         doc_from.cast("long").alias("doc_from"),
         doc_to.cast("long").alias("doc_to"),
     )
+
+
+def mixing_plan(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Data-mixing plan (the LLaMA/Pile mixture table as an operator):
+    per source → ``(source, n_docs, n_tokens, weight, target_tokens,
+    epochs, sample_rate)``.
+
+    ``weights`` are relative mixture weights (normalized over the
+    weight mass actually present in the corpus); ``target_tokens`` =
+    normalized weight × token_budget; ``epochs`` = target / available
+    (> 1 means the source is oversampled across epochs, the standard
+    mixture-table semantics); ``sample_rate`` = min(1, epochs) — the
+    within-epoch keep rate to feed stratified_sample.
+
+    One partial-aggregated groupBy(source) over the corpus (token
+    counts combine map-side) plus a broadcast of the literal weight
+    table — the weight literals ride an explode(array(...)) so no
+    driver-side PythonRDD scan lands under the join. The weight
+    normalizer is a scalar agg over that same tiny frame, computed
+    identically by the DuckDB oracle (same doubles, same IEEE ops).
+    """
+    per_source = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(ws_tokens(F.col(text_col)))).alias("n_tokens"),
+    )
+    w = docs.sparkSession.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("source"),
+                        F.lit(float(v)).cast("double").alias("weight"),
+                    )
+                    for s, v in sorted(weights.items())
+                ]
+            )
+        ).alias("w")
+    ).select("w.*")
+    joined = per_source.join(F.broadcast(w), "source", "left").withColumn(
+        "weight", F.coalesce(F.col("weight"), F.lit(float(default_weight)))
+    )
+    # normalize over the weight mass PRESENT in the corpus (a weight
+    # for a missing source must not silently shrink everyone else's
+    # share of the budget)
+    total_w = F.sum("weight").over(Window.partitionBy())
+    target = (
+        F.when(total_w > 0, F.col("weight") / total_w).otherwise(F.lit(0.0))
+        * F.lit(float(token_budget))
+    )
+    epochs = F.when(
+        F.col("n_tokens") > 0, target / F.col("n_tokens").cast("double")
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "weight",
+        target.alias("target_tokens"),
+        epochs.alias("epochs"),
+        F.least(F.lit(1.0), epochs).alias("sample_rate"),
+    )

@@ -120,3 +120,41 @@ def test_decontaminate_benchmark_set_broadcasts(spark):
     out = decontaminate(corpus, bench)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+
+
+def test_mixing_plan_targets_and_clamp(spark):
+    from opengauss_tools_datachecker_performance_spark.operators.curation import (
+        mixing_plan,
+    )
+
+    docs = _docs(
+        spark,
+        # srcA: 2 docs x 4 tokens = 8; srcB: 1 doc x 4 tokens = 4
+        [
+            ("a1", "one two three four"),
+            ("a2", "five six seven eight"),
+            ("b1", "nine ten eleven twelve"),
+        ],
+    ).withColumn(
+        "source", F.when(F.col("doc_id").startswith("a"), "srcA").otherwise("srcB")
+    )
+    got = {
+        r["source"]: r
+        for r in mixing_plan(
+            docs, {"srcA": 1.0, "srcB": 3.0}, token_budget=16
+        ).collect()
+    }
+    a, b = got["srcA"], got["srcB"]
+    assert (a["n_docs"], a["n_tokens"]) == (2, 8)
+    # srcA target = 1/4 * 16 = 4 of 8 available → rate 0.5, no oversample
+    assert abs(a["target_tokens"] - 4.0) < 1e-12
+    assert abs(a["sample_rate"] - 0.5) < 1e-12
+    # srcB target = 3/4 * 16 = 12 of 4 available → 3 epochs, rate clamps to 1
+    assert abs(b["epochs"] - 3.0) < 1e-12
+    assert b["sample_rate"] == 1.0
+    # a source with no weight entry gets default 0 → rate 0
+    got0 = {
+        r["source"]: r
+        for r in mixing_plan(docs, {"srcA": 1.0}, token_budget=16).collect()
+    }
+    assert got0["srcB"]["weight"] == 0.0 and got0["srcB"]["sample_rate"] == 0.0
