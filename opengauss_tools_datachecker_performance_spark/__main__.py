@@ -111,6 +111,23 @@ def build_parser() -> argparse.ArgumentParser:
              "subdirs)",
     )
     p.add_argument(
+        "--decontaminate-table", default=None,
+        help="corpus of (doc_id, text) to screen for benchmark "
+             "contamination (operators/decontamination.py); flagged "
+             "docs land in contaminated.parquet and the count in "
+             "summary.json's decontamination section",
+    )
+    p.add_argument(
+        "--decontaminate-benchmark", default=None,
+        help="held-out eval/benchmark set of (doc_id, text) whose "
+             "k-shingle overlap flags corpus docs (requires "
+             "--decontaminate-table)",
+    )
+    p.add_argument(
+        "--decontaminate-min-shared", type=int, default=2,
+        help="distinct shared shingles needed to flag a doc (default 2)",
+    )
+    p.add_argument(
         "--source-companion", default=None,
         help="digest companion for --source (parquet path or table:name, "
              "sources/prehashed.py): validate body-free off the persisted "
@@ -229,6 +246,11 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     if args.near_dup_index and not args.near_dup_table:
         parser.error(
             "--near-dup-index requires --near-dup-table (the new batch)"
+        )
+    if bool(args.decontaminate_table) != bool(args.decontaminate_benchmark):
+        parser.error(
+            "--decontaminate-table and --decontaminate-benchmark "
+            "must be given together"
         )
     # a typo'd baseline dir must fail BEFORE the (potentially
     # hours-long) validation, not in the final summarize_dir
@@ -469,18 +491,25 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             "drift_profiles.parquet",
             "repair.sql",  # stale repair chunks re-apply old DELETEs
             "regression.parquet",  # describes a previous comparison
+            "contaminated.parquet",  # likewise a previous run's screen
         ):
             shutil.rmtree(os.path.join(args.report_dir, frame), ignore_errors=True)
-    if not args.resume and not args.baseline_report_dir:
-        # fresh run without a baseline: a regression.parquet left by a
-        # previous run in this dir describes a DIFFERENT comparison and
-        # would sit next to a summary.json with no regression entry
+    if not args.resume:
+        # fresh run: frames a PREVIOUS run wrote for options this run
+        # was not given would otherwise sit next to a summary.json that
+        # has no matching section — stale data presented as current
         import shutil
 
-        shutil.rmtree(
-            os.path.join(args.report_dir, "regression.parquet"),
-            ignore_errors=True,
-        )
+        if not args.baseline_report_dir:
+            shutil.rmtree(
+                os.path.join(args.report_dir, "regression.parquet"),
+                ignore_errors=True,
+            )
+        if not args.decontaminate_table:
+            shutil.rmtree(
+                os.path.join(args.report_dir, "contaminated.parquet"),
+                ignore_errors=True,
+            )
     chunks = (
         [pending[i : i + n] for i in range(0, len(pending), n)]
         if chunked and n > 0
@@ -630,6 +659,27 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         )
         coverage = coverage_counts(cov)
         release(cov)
+    decon_section = None
+    if args.decontaminate_table:
+        from opengauss_tools_datachecker_performance_spark.operators.decontamination import (
+            decontaminate,
+        )
+
+        flagged = decontaminate(
+            load_table(spark, args.decontaminate_table),
+            load_table(spark, args.decontaminate_benchmark),
+            min_shared=args.decontaminate_min_shared,
+        ).filter(F.col("contaminated"))
+        out_path = os.path.join(args.report_dir, "contaminated.parquet")
+        flagged.write.mode("overwrite").parquet(out_path)
+        # count off the written frame — no recompute of the overlap join
+        n_flagged = spark.read.parquet(out_path).count()
+        decon_section = {
+            "benchmark": args.decontaminate_benchmark,
+            "min_shared": args.decontaminate_min_shared,
+            "n_contaminated": n_flagged,
+        }
+        print(f"[decontaminate] {n_flagged} contaminated docs → {out_path}")
     summary = summarize_dir(
         spark,
         args.report_dir,
@@ -637,6 +687,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         schema_message=schema_msg,
         coverage=coverage,
         baseline_dir=args.baseline_report_dir,
+        decontamination=decon_section,
     )
     ok = summary["result"] == "success"
     print(f"[validate] run={run_id} result={summary['result']}")

@@ -67,6 +67,7 @@ def summarize_dir(
     schema_message: str = "",
     coverage: dict | None = None,
     baseline_dir: str | None = None,
+    decontamination: dict | None = None,
 ) -> dict:
     """Build summary.json + success/failed logs from the written
     frames (covers every chunk written so far, including those from a
@@ -117,6 +118,8 @@ def summarize_dir(
     }
     if coverage:
         summary["coverage_bounds"] = dict(coverage)
+    if decontamination:
+        summary["decontamination"] = dict(decontamination)
     if baseline_dir is not None:
         prev, _ = _read_frames(spark, baseline_dir)
         reg = run_regression(violations, prev).persist()

@@ -158,3 +158,62 @@ def test_mixing_plan_targets_and_clamp(spark):
         for r in mixing_plan(docs, {"srcA": 1.0}, token_budget=16).collect()
     }
     assert got0["srcB"]["weight"] == 0.0 and got0["srcB"]["sample_rate"] == 0.0
+
+
+def test_cli_decontaminate(spark, tmp_path):
+    """--decontaminate-table/--decontaminate-benchmark: flagged docs in
+    contaminated.parquet, count in summary.json; a later run WITHOUT
+    the flags clears the stale frame."""
+    import json
+    import os
+
+    from opengauss_tools_datachecker_performance_spark.__main__ import main
+    from opengauss_tools_datachecker_performance_spark.synth import write_corpus
+
+    corpus_dir = str(tmp_path / "corpus")
+    write_corpus(spark, corpus_dir, n_docs=200, n_assets=20, n_partitions=2)
+    bench_text = "held out evaluation question answer pair " * 5
+    docs = _docs(
+        spark,
+        [("d%d" % i, "plain words number %d only here" % i) for i in range(30)]
+        + [("leak1", bench_text.strip()), ("leak2", bench_text.strip() + " x")],
+    )
+    docs_path = str(tmp_path / "docs.parquet")
+    docs.write.parquet(docs_path)
+    bench_path = str(tmp_path / "bench.parquet")
+    _docs(spark, [("b0", bench_text.strip())]).write.parquet(bench_path)
+
+    report = str(tmp_path / "report")
+    args = [
+        "--source", f"{corpus_dir}/docs_source.parquet",
+        "--sink", f"{corpus_dir}/docs_sink.parquet",
+        "--report-dir", report,
+        "--decontaminate-table", docs_path,
+        "--decontaminate-benchmark", bench_path,
+    ]
+    main(args, spark=spark)
+    flagged = spark.read.parquet(os.path.join(report, "contaminated.parquet"))
+    assert {r["doc_id"] for r in flagged.collect()} == {"leak1", "leak2"}
+    s = json.load(open(os.path.join(report, "summary.json")))
+    assert s["decontamination"]["n_contaminated"] == 2
+
+    # one flag without the other is rejected at argparse time
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(
+            ["--source", f"{corpus_dir}/docs_source.parquet",
+             "--report-dir", report, "--decontaminate-table", docs_path],
+            spark=spark,
+        )
+
+    # fresh run without the flags clears the stale frame + section
+    main(
+        ["--source", f"{corpus_dir}/docs_source.parquet",
+         "--sink", f"{corpus_dir}/docs_sink.parquet",
+         "--report-dir", report],
+        spark=spark,
+    )
+    assert not os.path.exists(os.path.join(report, "contaminated.parquet"))
+    s2 = json.load(open(os.path.join(report, "summary.json")))
+    assert "decontamination" not in s2
