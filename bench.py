@@ -200,6 +200,11 @@ def main() -> None:
         "text_quality",
         "lang_id_profile",
         "drift_quantile_profile",
+        # corpus hygiene (wave 10)
+        "decontaminate",
+        "repetition_stats",
+        "pii_scan",
+        "mixing_plan",
     ]
     if os.environ.get("SPARK_GRAFT_BENCH_OPS", "1") == "0":
         op_names = []

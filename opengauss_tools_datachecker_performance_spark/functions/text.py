@@ -347,31 +347,36 @@ def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
     frequent word 2-gram (boilerplate/spam detector; thresholding is
     the caller's policy, this exposes the measurements).
 
-    Explode-first formulation (the shingle_rows discipline): tokens as
-    flat rows, bigrams via window ``lead()`` over (doc_id, position),
-    both counts from partial-aggregated groupBys — whole-stage codegen
-    end to end, no interpreted array lambdas. The window's
-    doc_id-keyed shuffle is the SAME exchange every downstream groupBy
-    needs, so adding bigrams costs no extra data movement.
+    Plan shape (checked with .explain): the token counts are MAP-ONLY
+    — ``size`` / ``size(array_distinct)`` on the per-doc token array,
+    codegen'd collection expressions, no explode, no countDistinct
+    double-exchange. Only the bigram mode needs distribution: explode
+    tokens, window ``lead()`` over (doc_id, position) for the pairs,
+    one partial-aggregated groupBy whose (doc_id, bigram) clustering
+    is already satisfied by the window's doc_id exchange, and Spark's
+    WindowGroupLimit caps the top-1 pick. Net: ONE corpus exchange
+    (plus the final doc_id join, which reuses that partitioning).
     Ties on the top bigram resolve lexicographically (smallest wins)
     so the result is deterministic and oracle-reproducible.
     """
     from pyspark.sql.window import Window
 
-    toks = df.select(
+    base = df.select(
         F.col(id_col).cast("string").alias("doc_id"),
-        F.posexplode(ws_tokens(normalized_text(F.col(text_col)))).alias(
-            "_i", "_tok"
-        ),
+        ws_tokens(normalized_text(F.col(text_col))).alias("_toks"),
+    )
+    tok_agg = base.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("_toks")).cast("long").alias("n_distinct_tokens"),
+    )
+    toks = base.select(
+        "doc_id", F.posexplode("_toks").alias("_i", "_tok")
     )
     w = Window.partitionBy("doc_id").orderBy("_i")
-    rows = toks.withColumn("_next", F.lead("_tok").over(w))
-    tok_agg = rows.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.countDistinct("_tok").alias("n_distinct_tokens"),
-    )
     big_counts = (
-        rows.filter(F.col("_next").isNotNull())
+        toks.withColumn("_next", F.lead("_tok").over(w))
+        .filter(F.col("_next").isNotNull())
         .select(
             "doc_id", F.concat_ws(" ", "_tok", "_next").alias("bigram")
         )
