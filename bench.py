@@ -159,12 +159,13 @@ def main() -> None:
             cdt, cinfo = bench_validate_docs(spark, corpus_dir, docs_dir=comp_dir)
             ctimes.append(cdt)
         cdt = min(ctimes)
-        # companion-only sweeps (SPARK_GRAFT_BENCH_RAW=0) still need the
-        # validation-result counts in the JSON — without them a silently
-        # empty companion cache would be indistinguishable from a fast
+        # the companion run's own validation-result counts go under
+        # suffixed keys ALWAYS (not setdefault: the raw flagship's
+        # counts must never mask them) — a silently empty companion
+        # cache would otherwise be indistinguishable from a fast
         # correct run
         for k, v in cinfo.items():
-            extras.setdefault(k, v)
+            extras[f"{k}_companion"] = v
         queries["validate_docs_companion"] = round(cdt, 3)
         extras["docs_per_sec_companion"] = round(N_DOCS / cdt, 1)
         extras["validate_docs_companion_all_reps"] = [round(t, 3) for t in ctimes]

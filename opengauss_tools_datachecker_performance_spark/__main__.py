@@ -203,6 +203,38 @@ def _finalize_drift(spark: SparkSession, report_dir: str, threshold: float) -> N
     )
 
 
+def _run_decontamination(spark: SparkSession, args) -> dict | None:
+    """Run the --decontaminate-table screen (if requested): flagged
+    docs → report_dir/contaminated.parquet, returns the summary.json
+    section. Lives outside the wave loop so EVERY exit path that
+    writes a summary (including resume-with-nothing-pending) still
+    honors the requested screen."""
+    if not args.decontaminate_table:
+        return None
+    from opengauss_tools_datachecker_performance_spark.operators.decontamination import (
+        decontaminate,
+    )
+    from opengauss_tools_datachecker_performance_spark.sources.table_io import (
+        load_table,
+    )
+
+    flagged = decontaminate(
+        load_table(spark, args.decontaminate_table),
+        load_table(spark, args.decontaminate_benchmark),
+        min_shared=args.decontaminate_min_shared,
+    ).filter(F.col("contaminated"))
+    out_path = os.path.join(args.report_dir, "contaminated.parquet")
+    flagged.write.mode("overwrite").parquet(out_path)
+    # count off the written frame — no recompute of the overlap join
+    n_flagged = spark.read.parquet(out_path).count()
+    print(f"[decontaminate] {n_flagged} contaminated docs → {out_path}")
+    return {
+        "benchmark": args.decontaminate_benchmark,
+        "min_shared": args.decontaminate_min_shared,
+        "n_contaminated": n_flagged,
+    }
+
+
 def _ledger_reference_stats(spark: SparkSession, checkpoint_dir: str):
     """Latest 'done' ledger entry per partition, shaped for
     prehashed.companion_stale_partitions: (part, n_rows, digest).
@@ -449,6 +481,10 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         )
         if not pending:
             print("[resume] nothing to do")
+            # the screen was REQUESTED — it must not be skipped just
+            # because validation has nothing left (and its failures
+            # must surface, so it stays outside the refresh try)
+            decon_section = _run_decontamination(spark, args)
             try:
                 # refresh the summary over frames a previous (killed)
                 # run already wrote into THIS report dir, if any —
@@ -462,6 +498,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                     spark,
                     args.report_dir,
                     baseline_dir=args.baseline_report_dir,
+                    decontamination=decon_section,
                 )
             except Exception:
                 pass
@@ -490,8 +527,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             "verdicts.parquet",
             "drift_profiles.parquet",
             "repair.sql",  # stale repair chunks re-apply old DELETEs
-            "regression.parquet",  # describes a previous comparison
-            "contaminated.parquet",  # likewise a previous run's screen
+            # regression/contaminated are owned by the conditional
+            # block below (flag off → delete; flag on → overwrite)
         ):
             shutil.rmtree(os.path.join(args.report_dir, frame), ignore_errors=True)
     if not args.resume:
@@ -659,27 +696,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         )
         coverage = coverage_counts(cov)
         release(cov)
-    decon_section = None
-    if args.decontaminate_table:
-        from opengauss_tools_datachecker_performance_spark.operators.decontamination import (
-            decontaminate,
-        )
-
-        flagged = decontaminate(
-            load_table(spark, args.decontaminate_table),
-            load_table(spark, args.decontaminate_benchmark),
-            min_shared=args.decontaminate_min_shared,
-        ).filter(F.col("contaminated"))
-        out_path = os.path.join(args.report_dir, "contaminated.parquet")
-        flagged.write.mode("overwrite").parquet(out_path)
-        # count off the written frame — no recompute of the overlap join
-        n_flagged = spark.read.parquet(out_path).count()
-        decon_section = {
-            "benchmark": args.decontaminate_benchmark,
-            "min_shared": args.decontaminate_min_shared,
-            "n_contaminated": n_flagged,
-        }
-        print(f"[decontaminate] {n_flagged} contaminated docs → {out_path}")
+    decon_section = _run_decontamination(spark, args)
     summary = summarize_dir(
         spark,
         args.report_dir,

@@ -44,11 +44,15 @@ def span_rule_violations(docs: DataFrame, assets: DataFrame | None) -> DataFrame
         bad_refs = dangling_media_refs(docs, assets).withColumn("is_bad", F.lit(True))
         # violation-sized in a healthy corpus but unbounded if the
         # catalog is wholesale stale. With AQE on (production default)
-        # the RUNTIME size decides broadcast vs shuffle; with AQE off
-        # Catalyst's static estimate of the anti-join side can exceed
-        # the broadcast threshold and shuffle the corpus-sized exploded
-        # frame instead — pin the broadcast there, accepting the
-        # wholesale-stale risk the static planner can't see.
+        # the RUNTIME size decides broadcast vs shuffle — that config
+        # handles the wholesale-stale case by degrading to a shuffle.
+        # With AQE off (a bench/diagnostic config) Catalyst's static
+        # estimate of the anti-join side can exceed the broadcast
+        # threshold and shuffle the corpus-sized exploded frame
+        # instead — pin the broadcast there. Deliberate trade: the
+        # pinned broadcast dies past Spark's broadcast limits if the
+        # catalog is wholesale stale AND AQE is off; that pathological
+        # combination should run with the AQE-on default.
         aqe = (
             docs.sparkSession.conf.get("spark.sql.adaptive.enabled", "true")
             .lower()

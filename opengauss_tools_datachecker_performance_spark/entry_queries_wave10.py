@@ -113,11 +113,13 @@ _SQL_REP_DOCS = """
       FROM bc
     )
     SELECT b.doc_id, b.n_tokens, b.n_distinct_tokens,
-           1.0::DOUBLE - b.n_distinct_tokens::DOUBLE / b.n_tokens
-             AS dup_token_frac,
+           CASE WHEN b.n_tokens > 0
+                THEN 1.0::DOUBLE - b.n_distinct_tokens::DOUBLE / b.n_tokens
+                ELSE 0.0::DOUBLE END AS dup_token_frac,
            t.top_bigram,
-           COALESCE(2.0::DOUBLE * t.n / b.n_tokens, 0.0::DOUBLE)
-             AS top_bigram_frac
+           COALESCE(CASE WHEN b.n_tokens > 0
+                         THEN 2.0::DOUBLE * t.n / b.n_tokens END,
+                    0.0::DOUBLE) AS top_bigram_frac
     FROM base b
     LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
     """,

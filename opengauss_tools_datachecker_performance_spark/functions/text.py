@@ -391,15 +391,24 @@ def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
         .filter(F.col("_rn") == 1)
         .select("doc_id", F.col("bigram").alias("top_bigram"), F.col("n").alias("_top_n"))
     )
-    dup_frac = F.lit(1.0) - (
-        F.col("n_distinct_tokens").cast("double")
-        / F.col("n_tokens").cast("double")
-    )
-    # top-bigram coverage: tokens covered by the winning 2-gram
-    # (2 tokens per occurrence) over all tokens — 0.0 for 1-token docs
-    top_frac = F.coalesce(
-        F.lit(2.0) * F.col("_top_n").cast("double")
+    # empty/whitespace-only docs have n_tokens = 0: guard the divides
+    # (ANSI mode — Spark 4's default — makes x/0 a JOB-KILLING error,
+    # and a dirty corpus is exactly this operator's input)
+    has_toks = F.col("n_tokens") > 0
+    dup_frac = F.when(
+        has_toks,
+        F.lit(1.0)
+        - F.col("n_distinct_tokens").cast("double")
         / F.col("n_tokens").cast("double"),
+    ).otherwise(F.lit(0.0))
+    # top-bigram coverage: tokens covered by the winning 2-gram
+    # (2 tokens per occurrence) over all tokens — 0.0 for 0/1-token docs
+    top_frac = F.coalesce(
+        F.when(
+            has_toks,
+            F.lit(2.0) * F.col("_top_n").cast("double")
+            / F.col("n_tokens").cast("double"),
+        ),
         F.lit(0.0),
     )
     return tok_agg.join(top, "doc_id", "left").select(

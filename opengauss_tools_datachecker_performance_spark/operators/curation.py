@@ -197,6 +197,14 @@ def mixing_plan(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(ws_tokens(F.col(text_col)))).alias("n_tokens"),
     )
+    if not weights:
+        # F.array() of zero structs is array<null> and breaks the
+        # star-expand below with an opaque AnalysisException; the
+        # documented zero-weight behavior needs no join at all
+        joined = per_source.withColumn(
+            "weight", F.lit(float(default_weight)).cast("double")
+        )
+        return _mixing_plan_rates(joined, token_budget)
     w = docs.sparkSession.range(1).select(
         F.explode(
             F.array(
@@ -213,9 +221,15 @@ def mixing_plan(
     joined = per_source.join(F.broadcast(w), "source", "left").withColumn(
         "weight", F.coalesce(F.col("weight"), F.lit(float(default_weight)))
     )
-    # normalize over the weight mass PRESENT in the corpus (a weight
-    # for a missing source must not silently shrink everyone else's
-    # share of the budget)
+    return _mixing_plan_rates(joined, token_budget)
+
+
+def _mixing_plan_rates(joined: DataFrame, token_budget: int) -> DataFrame:
+    """Rate columns off a (source, n_docs, n_tokens, weight) frame.
+    Normalizes over the weight mass PRESENT in the corpus (a weight
+    for a missing source must not silently shrink everyone else's
+    share of the budget). The global window runs over the per-source
+    aggregate — sources-sized at any corpus scale, never the corpus."""
     total_w = F.sum("weight").over(Window.partitionBy())
     target = (
         F.when(total_w > 0, F.col("weight") / total_w).otherwise(F.lit(0.0))

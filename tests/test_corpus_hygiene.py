@@ -217,3 +217,61 @@ def test_cli_decontaminate(spark, tmp_path):
     assert not os.path.exists(os.path.join(report, "contaminated.parquet"))
     s2 = json.load(open(os.path.join(report, "summary.json")))
     assert "decontamination" not in s2
+
+
+def test_repetition_stats_empty_doc_no_ansi_crash(spark):
+    """Empty/whitespace-only docs must yield zeros, not a
+    DIVIDE_BY_ZERO job abort under Spark 4's ANSI default."""
+    d = _docs(spark, [("e1", ""), ("e2", "   "), ("e3", "hello world")])
+    got = {r["doc_id"]: r for r in repetition_stats(d).collect()}
+    for k in ("e1", "e2"):
+        assert got[k]["n_tokens"] == 0
+        assert got[k]["dup_token_frac"] == 0.0
+        assert got[k]["top_bigram_frac"] == 0.0
+    assert got["e3"]["n_tokens"] == 2
+
+
+def test_mixing_plan_empty_weights(spark):
+    from opengauss_tools_datachecker_performance_spark.operators.curation import (
+        mixing_plan,
+    )
+
+    docs = _docs(spark, [("a1", "one two")]).withColumn("source", F.lit("srcA"))
+    row = mixing_plan(docs, {}, token_budget=10).collect()[0]
+    assert row["weight"] == 0.0 and row["sample_rate"] == 0.0
+
+
+def test_cli_decontaminate_runs_on_resume_nothing_pending(spark, tmp_path):
+    """resume with nothing pending must still honor a requested
+    decontamination screen (it runs outside the wave loop)."""
+    import json
+    import os
+
+    from opengauss_tools_datachecker_performance_spark.__main__ import main
+    from opengauss_tools_datachecker_performance_spark.synth import write_corpus
+
+    corpus_dir = str(tmp_path / "corpus")
+    write_corpus(spark, corpus_dir, n_docs=120, n_assets=12, n_partitions=2)
+    bench_text = "held out evaluation question answer pair " * 5
+    docs_path = str(tmp_path / "docs.parquet")
+    _docs(spark, [("leak", bench_text.strip()), ("ok", "plain words here")]).write.parquet(docs_path)
+    bench_path = str(tmp_path / "bench.parquet")
+    _docs(spark, [("b0", bench_text.strip())]).write.parquet(bench_path)
+
+    report, ckpt = str(tmp_path / "report"), str(tmp_path / "ckpt")
+    base = [
+        "--source", f"{corpus_dir}/docs_source.parquet",
+        "--sink", f"{corpus_dir}/docs_sink.parquet",
+        "--report-dir", report, "--checkpoint-dir", ckpt,
+    ]
+    main(base, spark=spark)  # all partitions checkpoint as done
+    # resume: nothing pending, but the screen is newly requested
+    main(
+        base + ["--resume", "--decontaminate-table", docs_path,
+                "--decontaminate-benchmark", bench_path],
+        spark=spark,
+    )
+    flagged = spark.read.parquet(os.path.join(report, "contaminated.parquet"))
+    assert {r["doc_id"] for r in flagged.collect()} == {"leak"}
+    s = json.load(open(os.path.join(report, "summary.json")))
+    assert s["decontamination"]["n_contaminated"] == 1
