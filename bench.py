@@ -206,6 +206,7 @@ def main() -> None:
         "repetition_stats",
         "pii_scan",
         "mixing_plan",
+        "duplicate_spans",
     ]
     if os.environ.get("SPARK_GRAFT_BENCH_OPS", "1") == "0":
         op_names = []

@@ -269,3 +269,73 @@ def q_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixing_plan(
         d, {"src0": 3.0, "src1": 1.0, "src2": 1.0}, token_budget=50_000
     )
+
+
+_SQL_SPAN_DOCS = """
+      SELECT doc_id,
+             CASE WHEN doc_id % 9 = 0
+                  THEN text || ' shared passage alpha beta gamma delta epsilon zeta'
+                  ELSE text END AS text
+      FROM documents
+"""
+
+_SQL_POS_SH = _SQL_PHASH.format(
+    x="toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]"
+)
+
+
+@query(
+    "duplicate_spans",
+    f"""
+    WITH docs2 AS ({_SQL_SPAN_DOCS}),
+    norm AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_TOKS} AS toks FROM docs2
+    ),
+    flat AS (
+      SELECT doc_id, i - 1 AS pos, {_SQL_POS_SH} AS sh
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+            FROM norm WHERE len(toks) >= 3)
+    ),
+    dup AS (
+      SELECT sh FROM flat GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT doc_id, pos FROM flat JOIN dup USING (sh)),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM hits
+    )
+    SELECT doc_id, MIN(pos) AS start_pos, MAX(pos) + 2 AS end_pos,
+           MAX(pos) + 2 - MIN(pos) + 1 AS span_tokens
+    FROM isl GROUP BY doc_id, g
+    """,
+)
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicate-passage spans
+    (operators.substring_dedup.duplicate_spans): an identical 8-token
+    passage planted on every % 9 doc must island into one span per
+    carrier; natural cross-doc shingle runs in the synthetic text
+    count identically on both sides."""
+    from opengauss_tools_datachecker_performance_spark.operators.substring_dedup import (
+        duplicate_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" shared passage alpha beta gamma delta epsilon zeta"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = duplicate_spans(d, min_docs=2)
+    return out.select(
+        "doc_id",
+        F.col("start_pos").cast("long").alias("start_pos"),
+        F.col("end_pos").cast("long").alias("end_pos"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+    )

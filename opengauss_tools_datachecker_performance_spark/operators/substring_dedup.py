@@ -1,0 +1,115 @@
+"""Substring-level (passage) deduplication: find maximal token spans
+that are duplicated ACROSS documents.
+
+Doc-level dedup (MinHash / SimHash / exact fingerprints) misses the
+boilerplate case: two long, otherwise-distinct documents sharing a
+repeated passage (license headers, navigation chrome, quoted chain
+mail). The published discipline (Lee et al. 2021, "Deduplicating
+Training Data Makes Language Models Better") removes exact duplicate
+substrings corpus-wide via suffix arrays; a suffix array is a global,
+sequential structure, so the Spark-native equivalent here works on
+k-token shingles: a shingle occurring in ≥ ``min_docs`` distinct docs
+is "duplicated", and maximal RUNS of consecutive duplicated shingle
+positions within a doc are the removal spans (a run of R consecutive
+k-shingles == an exact duplicated substring of R+k-1 tokens).
+
+Scale shape (10^12 docs): the positional shingle stream is
+corpus-token-sized, same as every shingle pipeline here; the
+frequency count is one hash-partitioned groupBy(sh); the hit join is
+co-partitioned on the same key (no broadcast assumption — the
+duplicate-shingle set is corpus-scale in the worst case); the
+island-merge window shuffles ONLY the duplicate positions (usually a
+small fraction) keyed by doc_id. No global ordering anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from opengauss_tools_datachecker_performance_spark.functions.hashing import (
+    portable_hash64,
+)
+from opengauss_tools_datachecker_performance_spark.functions.text import (
+    normalized_text,
+    ws_tokens,
+)
+
+
+def positional_shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """→ flat ``(doc_id, pos, sh)`` rows: the k-shingle starting at
+    0-based token position ``pos``. Same explode-first codegen build
+    as functions.text.shingle_rows (window ``lead``, md5 hash — see
+    its docstring for why not array lambdas), but positions are kept
+    and docs shorter than k contribute nothing (a sub-k doc has no
+    positional span to remove)."""
+    toks = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        ws_tokens(normalized_text(F.col(text_col))).alias("_toks"),
+    ).filter(F.size("_toks") >= k)
+    rows = toks.select(
+        "doc_id", F.posexplode("_toks").alias("pos", "_tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("_tok")] + [F.lead("_tok", j).over(w) for j in range(1, k)]
+    return (
+        rows.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", *parts).alias("_shingle"),
+            (parts[-1].isNotNull() if k > 1 else F.lit(True)).alias("_full"),
+        )
+        .filter(F.col("_full"))
+        .select("doc_id", "pos", portable_hash64(F.col("_shingle")).alias("sh"))
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """→ ``(doc_id, start_pos, end_pos, span_tokens)``: maximal token
+    spans (0-based, inclusive) duplicated across ≥ ``min_docs``
+    distinct docs. ``span_tokens`` = end_pos - start_pos + 1; a span
+    is always ≥ k tokens (one duplicated shingle). Downstream removal
+    is the caller's policy (cut, keep-first-occurrence, or flag) —
+    this emits the evidence, like the reference's diff emits keys
+    rather than repairing in place.
+
+    Cross-doc semantics deliberately: ``min_docs`` counts DISTINCT
+    docs, so within-doc repetition (repetition_stats' domain) does not
+    flag, and every co-occurrence of a flagged passage flags in every
+    doc carrying it (keep-one is a survivor policy, not detection).
+
+    Islands via gaps-and-islands: pos - row_number() is constant on a
+    consecutive run; one window + one groupBy over the (small)
+    duplicate-position stream."""
+    rows = positional_shingle_rows(df, id_col, text_col, k)
+    dup_sh = (
+        rows.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("sh")
+    )
+    hits = rows.join(dup_sh, "sh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grp = F.col("pos") - F.row_number().over(w)
+    return (
+        hits.withColumn("_g", grp)
+        .groupBy("doc_id", "_g")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            (F.max("pos") + F.lit(k - 1)).alias("end_pos"),
+        )
+        .select(
+            "doc_id",
+            "start_pos",
+            "end_pos",
+            (F.col("end_pos") - F.col("start_pos") + 1).alias("span_tokens"),
+        )
+    )

@@ -275,3 +275,32 @@ def test_cli_decontaminate_runs_on_resume_nothing_pending(spark, tmp_path):
     assert {r["doc_id"] for r in flagged.collect()} == {"leak"}
     s = json.load(open(os.path.join(report, "summary.json")))
     assert s["decontamination"]["n_contaminated"] == 1
+
+
+def test_duplicate_spans_exact_boundaries(spark):
+    """Two docs sharing a middle passage flag exactly that passage in
+    BOTH docs; within-doc-only repetition does not flag (min_docs
+    counts distinct docs); unrelated docs contribute nothing."""
+    from opengauss_tools_datachecker_performance_spark.operators.substring_dedup import (
+        duplicate_spans,
+    )
+
+    passage = "alpha beta gamma delta epsilon"  # 5 tokens
+    d = _docs(
+        spark,
+        [
+            # passage at token positions 2..6
+            ("s1", "u1 u2 " + passage + " v1 v2 v3"),
+            # same passage at positions 0..4
+            ("s2", passage + " w1 w2"),
+            # unrelated
+            ("s3", "x1 x2 x3 x4 x5 x6 x7"),
+            # repeats a passage only WITHIN itself → not cross-doc
+            ("s4", "y1 rep1 rep2 rep3 y2 rep1 rep2 rep3 y3"),
+        ],
+    )
+    got = {
+        (r["doc_id"], r["start_pos"], r["end_pos"], r["span_tokens"])
+        for r in duplicate_spans(d, min_docs=2).collect()
+    }
+    assert got == {("s1", 2, 6, 5), ("s2", 0, 4, 5)}
