@@ -283,6 +283,12 @@ _SQL_POS_SH = _SQL_PHASH.format(
     x="toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]"
 )
 
+#: island passage key: hash of the ordered shingle-hash run (mirrors
+#: operators.substring_dedup.duplicate_spans' array_sort+array_join)
+_SQL_PASSAGE_KEY = _SQL_PHASH.format(
+    x="string_agg(sh::VARCHAR, ',' ORDER BY pos)"
+)
+
 
 @query(
     "duplicate_spans",
@@ -299,14 +305,15 @@ _SQL_POS_SH = _SQL_PHASH.format(
     dup AS (
       SELECT sh FROM flat GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
     ),
-    hits AS (SELECT doc_id, pos FROM flat JOIN dup USING (sh)),
+    hits AS (SELECT doc_id, pos, sh FROM flat JOIN dup USING (sh)),
     isl AS (
-      SELECT doc_id, pos,
+      SELECT doc_id, pos, sh,
              pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
       FROM hits
     )
     SELECT doc_id, MIN(pos) AS start_pos, MAX(pos) + 2 AS end_pos,
-           MAX(pos) + 2 - MIN(pos) + 1 AS span_tokens
+           MAX(pos) + 2 - MIN(pos) + 1 AS span_tokens,
+           {_SQL_PASSAGE_KEY} AS passage_key
     FROM isl GROUP BY doc_id, g
     """,
 )
@@ -338,4 +345,90 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start_pos").cast("long").alias("start_pos"),
         F.col("end_pos").cast("long").alias("end_pos"),
         F.col("span_tokens").cast("long").alias("span_tokens"),
+        "passage_key",
+    )
+
+
+@query(
+    "span_removal",
+    f"""
+    WITH docs2 AS ({_SQL_SPAN_DOCS}),
+    norm AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_TOKS} AS toks FROM docs2
+    ),
+    flat AS (
+      SELECT doc_id, i - 1 AS pos, {_SQL_POS_SH} AS sh
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+            FROM norm WHERE len(toks) >= 3)
+    ),
+    dup AS (
+      SELECT sh FROM flat GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT doc_id, pos, sh FROM flat JOIN dup USING (sh)),
+    isl AS (
+      SELECT doc_id, pos, sh,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM hits
+    ),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS start_pos, MAX(pos) + 2 AS end_pos,
+             {_SQL_PASSAGE_KEY} AS passage_key
+      FROM isl GROUP BY doc_id, g
+    ),
+    removal AS (
+      SELECT doc_id, start_pos, end_pos
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY passage_key
+                      ORDER BY doc_id, start_pos) AS rn FROM spans)
+      WHERE rn > 1
+    ),
+    rem AS (
+      SELECT doc_id,
+             list(struct_pack(s := start_pos, e := end_pos)) AS sps
+      FROM removal GROUP BY doc_id
+    ),
+    final AS (
+      SELECT n.doc_id, n.toks,
+             CASE WHEN r.sps IS NULL THEN n.toks
+                  ELSE list_filter(n.toks,
+                       (x, i) -> len(list_filter(r.sps,
+                            s -> (i - 1) >= s.s AND (i - 1) <= s.e)) = 0)
+             END AS clean
+      FROM norm n LEFT JOIN rem r USING (doc_id)
+    )
+    SELECT doc_id, len(toks) AS n_tokens,
+           len(toks) - len(clean) AS n_removed_tokens,
+           md5(COALESCE(array_to_string(clean, ' '), '')) AS clean_fp
+    FROM final
+    """,
+)
+def q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the substring-dedup loop: duplicate_spans → keep-first
+    removal_plan → remove_spans (operators.substring_dedup). Output is
+    count + md5 fingerprint of the cleaned token stream per doc so the
+    value compare covers every byte of the edited text without
+    shipping it."""
+    from opengauss_tools_datachecker_performance_spark.operators.substring_dedup import (
+        duplicate_spans,
+        removal_plan,
+        remove_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" shared passage alpha beta gamma delta epsilon zeta"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    cleaned = remove_spans(d, removal_plan(duplicate_spans(d, min_docs=2)))
+    return cleaned.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed_tokens",
+        F.md5(F.col("clean_text")).alias("clean_fp"),
     )

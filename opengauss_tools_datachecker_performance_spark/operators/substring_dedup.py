@@ -96,20 +96,97 @@ def duplicate_spans(
         .filter(F.col("_nd") >= min_docs)
         .select("sh")
     )
-    hits = rows.join(dup_sh, "sh").select("doc_id", "pos")
+    hits = rows.join(dup_sh, "sh").select("doc_id", "pos", "sh")
     w = Window.partitionBy("doc_id").orderBy("pos")
     grp = F.col("pos") - F.row_number().over(w)
+    # passage_key: hash of the island's ordered shingle-hash run —
+    # identical passages get identical keys across docs, which is what
+    # a keep-one-copy policy (removal_plan) groups on. collect_list is
+    # order-nondeterministic; array_sort on (pos, sh) structs pins it.
+    key = portable_hash64(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sh"))),
+                lambda x: x["sh"].cast("string"),
+            ),
+            ",",
+        )
+    )
     return (
         hits.withColumn("_g", grp)
         .groupBy("doc_id", "_g")
         .agg(
             F.min("pos").alias("start_pos"),
             (F.max("pos") + F.lit(k - 1)).alias("end_pos"),
+            key.alias("passage_key"),
         )
         .select(
             "doc_id",
             "start_pos",
             "end_pos",
             (F.col("end_pos") - F.col("start_pos") + 1).alias("span_tokens"),
+            "passage_key",
         )
+    )
+
+
+def removal_plan(spans: DataFrame) -> DataFrame:
+    """Keep-one-copy policy over :func:`duplicate_spans` output: per
+    ``passage_key``, the first carrier (smallest doc_id, then
+    start_pos) KEEPS its copy; every other span is returned for
+    removal. Window over the spans frame only — violation-sized, never
+    corpus-sized."""
+    w = Window.partitionBy("passage_key").orderBy(
+        F.col("doc_id").asc(), F.col("start_pos").asc()
+    )
+    return (
+        spans.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .drop("_rn")
+    )
+
+
+def remove_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply token-span removal → ``(doc_id, n_tokens,
+    n_removed_tokens, clean_text)`` over the NORMALIZED tokenization
+    (the coordinate system duplicate_spans emits). Docs with no spans
+    pass through with n_removed_tokens = 0.
+
+    Shape: spans collapse to one small array per doc (spans are
+    violation-sized), join back on doc_id, and the cut is a per-row
+    array filter — map-side after the join, no explode/re-sort of the
+    corpus token stream. The HOF lambda is interpreted, but it runs
+    once per REMOVAL doc over its own token array, not in the corpus
+    scan path."""
+    sp = spans.groupBy(F.col("doc_id")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("start_pos").cast("long").alias("s"),
+                F.col("end_pos").cast("long").alias("e"),
+            )
+        ).alias("_spans")
+    )
+    base = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        ws_tokens(normalized_text(F.col(text_col))).alias("_toks"),
+    )
+    j = base.join(sp, "doc_id", "left")
+    clean = F.when(F.col("_spans").isNull(), F.col("_toks")).otherwise(
+        F.filter(
+            "_toks",
+            lambda t, i: ~F.exists(
+                F.col("_spans"), lambda s: (i >= s["s"]) & (i <= s["e"])
+            ),
+        )
+    )
+    return j.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size(clean)).cast("long").alias("n_removed_tokens"),
+        F.array_join(clean, " ").alias("clean_text"),
     )

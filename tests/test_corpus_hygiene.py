@@ -304,3 +304,35 @@ def test_duplicate_spans_exact_boundaries(spark):
         for r in duplicate_spans(d, min_docs=2).collect()
     }
     assert got == {("s1", 2, 6, 5), ("s2", 0, 4, 5)}
+
+
+def test_span_removal_keep_first(spark):
+    """removal_plan keeps the first carrier's copy (smallest doc_id,
+    start_pos) and remove_spans cuts exactly the duplicated tokens
+    from every other carrier."""
+    from opengauss_tools_datachecker_performance_spark.operators.substring_dedup import (
+        duplicate_spans,
+        removal_plan,
+        remove_spans,
+    )
+
+    passage = "alpha beta gamma delta epsilon"
+    d = _docs(
+        spark,
+        [
+            ("s1", "u1 u2 " + passage + " v1 v2 v3"),
+            ("s2", passage + " w1 w2"),
+            ("s3", "x1 x2 x3 x4 x5 x6 x7"),
+        ],
+    )
+    spans = duplicate_spans(d, min_docs=2)
+    keys = {r["passage_key"] for r in spans.collect()}
+    assert len(keys) == 1  # identical passage → identical key
+    plan = removal_plan(spans).collect()
+    assert [(r["doc_id"], r["start_pos"]) for r in plan] == [("s2", 0)]
+    got = {r["doc_id"]: r for r in remove_spans(d, removal_plan(spans)).collect()}
+    assert got["s1"]["n_removed_tokens"] == 0  # keep-first carrier
+    assert got["s1"]["clean_text"] == "u1 u2 " + passage + " v1 v2 v3"
+    assert got["s2"]["n_removed_tokens"] == 5
+    assert got["s2"]["clean_text"] == "w1 w2"
+    assert got["s3"]["n_removed_tokens"] == 0
