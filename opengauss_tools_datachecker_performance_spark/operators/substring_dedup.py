@@ -134,15 +134,24 @@ def removal_plan(spans: DataFrame) -> DataFrame:
     """Keep-one-copy policy over :func:`duplicate_spans` output: per
     ``passage_key``, the first carrier (smallest doc_id, then
     start_pos) KEEPS its copy; every other span is returned for
-    removal. Window over the spans frame only — violation-sized, never
-    corpus-sized."""
-    w = Window.partitionBy("passage_key").orderBy(
-        F.col("doc_id").asc(), F.col("start_pos").asc()
+    removal.
+
+    Deliberately NOT a row_number window: a boilerplate passage can be
+    carried by millions of docs, and a window must SORT that one key's
+    entire group in one task. min(struct(doc_id, start_pos)) is the
+    same lexicographic first-carrier choice as a partial-aggregated
+    (map-side combining, skew-tolerant) groupBy, and the join back is
+    keyed on the same column the aggregate just produced."""
+    keep = spans.groupBy("passage_key").agg(
+        F.min(F.struct("doc_id", "start_pos")).alias("_first")
     )
     return (
-        spans.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") > 1)
-        .drop("_rn")
+        spans.join(keep, "passage_key")
+        .filter(
+            (F.col("doc_id") != F.col("_first.doc_id"))
+            | (F.col("start_pos") != F.col("_first.start_pos"))
+        )
+        .drop("_first")
     )
 
 
