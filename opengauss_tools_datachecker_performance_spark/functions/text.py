@@ -215,8 +215,16 @@ def shingle_pipeline(
     )
 
 
-def shingle_rows(df, id_col: str, text_col: str, k: int = 3, distinct: bool = True):
-    """(id, text) frame → flat ``(doc_id, sh)`` shingle-hash ROWS.
+def shingle_rows(
+    df,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    distinct: bool = True,
+    keep_pos: bool = False,
+):
+    """(id, text) frame → flat ``(doc_id, sh)`` shingle-hash ROWS
+    (``(doc_id, pos, sh)`` with ``keep_pos=True``).
 
     Explode-first formulation: posexplode the token array, build each
     k-shingle with window ``lead()`` over (doc_id, position), hash with
@@ -227,6 +235,12 @@ def shingle_rows(df, id_col: str, text_col: str, k: int = 3, distinct: bool = Tr
     shingle (same fallback as word_shingles). The window partitions by
     doc_id — no global sort, and the shuffle it needs is the same
     (doc_id-keyed) one the downstream groupBy/joins want anyway.
+
+    ``keep_pos=True`` (the substring-dedup path) keeps the 0-based
+    starting token position of each shingle and SKIPS both the
+    small-doc fallback (a sub-k doc has no positional span to remove)
+    and the distinct dedup (positions make rows unique; ``distinct``
+    is ignored).
     """
     from pyspark.sql.window import Window
 
@@ -249,11 +263,16 @@ def shingle_rows(df, id_col: str, text_col: str, k: int = 3, distinct: bool = Tr
         rows.filter(F.col("_n") >= k)
         .select(
             "doc_id",
+            F.col("_i").alias("pos"),
             F.concat_ws(" ", *parts).alias("_shingle"),
             (parts[-1].isNotNull() if k > 1 else F.lit(True)).alias("_full"),
         )
         .filter(F.col("_full"))
     )
+    if keep_pos:
+        return big.select(
+            "doc_id", "pos", portable_hash64(F.col("_shingle")).alias("sh")
+        )
     small = toks.filter(F.size("_toks") < k).select(
         "doc_id", F.array_join("_toks", " ").alias("_shingle")
     )

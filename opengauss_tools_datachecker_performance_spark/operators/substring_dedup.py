@@ -32,6 +32,7 @@ from opengauss_tools_datachecker_performance_spark.functions.hashing import (
 )
 from opengauss_tools_datachecker_performance_spark.functions.text import (
     normalized_text,
+    shingle_rows,
     ws_tokens,
 )
 
@@ -40,30 +41,12 @@ def positional_shingle_rows(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:
     """→ flat ``(doc_id, pos, sh)`` rows: the k-shingle starting at
-    0-based token position ``pos``. Same explode-first codegen build
-    as functions.text.shingle_rows (window ``lead``, md5 hash — see
-    its docstring for why not array lambdas), but positions are kept
-    and docs shorter than k contribute nothing (a sub-k doc has no
-    positional span to remove)."""
-    toks = df.select(
-        F.col(id_col).cast("string").alias("doc_id"),
-        ws_tokens(normalized_text(F.col(text_col))).alias("_toks"),
-    ).filter(F.size("_toks") >= k)
-    rows = toks.select(
-        "doc_id", F.posexplode("_toks").alias("pos", "_tok")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("_tok")] + [F.lead("_tok", j).over(w) for j in range(1, k)]
-    return (
-        rows.select(
-            "doc_id",
-            "pos",
-            F.concat_ws(" ", *parts).alias("_shingle"),
-            (parts[-1].isNotNull() if k > 1 else F.lit(True)).alias("_full"),
-        )
-        .filter(F.col("_full"))
-        .select("doc_id", "pos", portable_hash64(F.col("_shingle")).alias("sh"))
-    )
+    0-based token position ``pos``. Delegates to
+    functions.text.shingle_rows(keep_pos=True) — the same
+    explode-first codegen build every shingle pipeline here uses —
+    which keeps positions and drops docs shorter than k (a sub-k doc
+    has no positional span to remove)."""
+    return shingle_rows(df, id_col, text_col, k=k, keep_pos=True)
 
 
 def duplicate_spans(
