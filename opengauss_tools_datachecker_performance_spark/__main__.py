@@ -128,6 +128,30 @@ def build_parser() -> argparse.ArgumentParser:
         help="distinct shared shingles needed to flag a doc (default 2)",
     )
     p.add_argument(
+        "--substring-dedup-table", default=None,
+        help="corpus of (doc_id, text) to scan for cross-document "
+             "duplicate passages (operators/substring_dedup.py): "
+             "maximal duplicated token spans land in "
+             "duplicate_spans.parquet and the keep-first-carrier "
+             "removal plan in span_removals.parquet, with counts in "
+             "summary.json's substring_dedup section",
+    )
+    p.add_argument(
+        "--substring-dedup-k", type=int, default=3,
+        help="token-shingle width for passage detection (a flagged "
+             "span is always >= k tokens)",
+    )
+    p.add_argument(
+        "--substring-dedup-min-docs", type=int, default=2,
+        help="distinct docs a passage must appear in to flag (default 2)",
+    )
+    p.add_argument(
+        "--substring-dedup-apply", action="store_true",
+        help="also apply the removal plan: clean_docs.parquet with "
+             "(doc_id, n_tokens, n_removed_tokens, clean_text) over "
+             "the normalized tokenization",
+    )
+    p.add_argument(
         "--source-companion", default=None,
         help="digest companion for --source (parquet path or table:name, "
              "sources/prehashed.py): validate body-free off the persisted "
@@ -233,6 +257,66 @@ def _run_decontamination(spark: SparkSession, args) -> dict | None:
         "min_shared": args.decontaminate_min_shared,
         "n_contaminated": n_flagged,
     }
+
+
+def _run_substring_dedup(spark: SparkSession, args) -> dict | None:
+    """Run the --substring-dedup-table screen (if requested):
+    duplicate passages → report_dir/duplicate_spans.parquet, the
+    keep-first removal plan → span_removals.parquet, optionally the
+    cleaned corpus → clean_docs.parquet. Returns the summary.json
+    section. Like _run_decontamination, lives outside the wave loop so
+    every summary-writing exit path honors the requested screen."""
+    if not args.substring_dedup_table:
+        return None
+    from opengauss_tools_datachecker_performance_spark.operators.substring_dedup import (
+        duplicate_spans,
+        removal_plan,
+        remove_spans,
+    )
+    from opengauss_tools_datachecker_performance_spark.sources.table_io import (
+        load_table,
+    )
+
+    docs = load_table(spark, args.substring_dedup_table)
+    spans_path = os.path.join(args.report_dir, "duplicate_spans.parquet")
+    duplicate_spans(
+        docs, k=args.substring_dedup_k, min_docs=args.substring_dedup_min_docs
+    ).write.mode("overwrite").parquet(spans_path)
+    # downstream stages read the WRITTEN frame — the shingle/island
+    # computation runs once, not once per consumer
+    spans = spark.read.parquet(spans_path)
+    plan_path = os.path.join(args.report_dir, "span_removals.parquet")
+    removal_plan(spans).write.mode("overwrite").parquet(plan_path)
+    plan = spark.read.parquet(plan_path)
+    counts = plan.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("d"),
+        F.coalesce(F.sum("span_tokens"), F.lit(0)).alias("t"),
+    ).collect()[0]
+    section = {
+        "table": args.substring_dedup_table,
+        "k": args.substring_dedup_k,
+        "min_docs": args.substring_dedup_min_docs,
+        "n_duplicate_spans": spans.count(),
+        "n_removals": counts["n"],
+        "n_docs_affected": counts["d"],
+        "n_tokens_planned": int(counts["t"]),
+    }
+    if args.substring_dedup_apply:
+        clean_path = os.path.join(args.report_dir, "clean_docs.parquet")
+        remove_spans(docs, plan).write.mode("overwrite").parquet(clean_path)
+        removed = (
+            spark.read.parquet(clean_path)
+            .agg(F.coalesce(F.sum("n_removed_tokens"), F.lit(0)))
+            .collect()[0][0]
+        )
+        section["n_tokens_removed"] = int(removed)
+    print(
+        f"[substring-dedup] {section['n_duplicate_spans']} duplicate "
+        f"spans, {section['n_removals']} removals over "
+        f"{section['n_docs_affected']} docs → {spans_path}"
+    )
+    return section
 
 
 def _ledger_reference_stats(spark: SparkSession, checkpoint_dir: str):
@@ -485,6 +569,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             # because validation has nothing left (and its failures
             # must surface, so it stays outside the refresh try)
             decon_section = _run_decontamination(spark, args)
+            subdup_section = _run_substring_dedup(spark, args)
             try:
                 # refresh the summary over frames a previous (killed)
                 # run already wrote into THIS report dir, if any —
@@ -499,6 +584,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                     args.report_dir,
                     baseline_dir=args.baseline_report_dir,
                     decontamination=decon_section,
+                    substring_dedup=subdup_section,
                 )
             except Exception:
                 pass
@@ -545,6 +631,20 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         if not args.decontaminate_table:
             shutil.rmtree(
                 os.path.join(args.report_dir, "contaminated.parquet"),
+                ignore_errors=True,
+            )
+        if not args.substring_dedup_table:
+            for frame in (
+                "duplicate_spans.parquet",
+                "span_removals.parquet",
+                "clean_docs.parquet",
+            ):
+                shutil.rmtree(
+                    os.path.join(args.report_dir, frame), ignore_errors=True
+                )
+        elif not args.substring_dedup_apply:
+            shutil.rmtree(
+                os.path.join(args.report_dir, "clean_docs.parquet"),
                 ignore_errors=True,
             )
     chunks = (
@@ -697,6 +797,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         coverage = coverage_counts(cov)
         release(cov)
     decon_section = _run_decontamination(spark, args)
+    subdup_section = _run_substring_dedup(spark, args)
     summary = summarize_dir(
         spark,
         args.report_dir,
@@ -705,6 +806,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         coverage=coverage,
         baseline_dir=args.baseline_report_dir,
         decontamination=decon_section,
+        substring_dedup=subdup_section,
     )
     ok = summary["result"] == "success"
     print(f"[validate] run={run_id} result={summary['result']}")

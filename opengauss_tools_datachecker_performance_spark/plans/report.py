@@ -68,6 +68,7 @@ def summarize_dir(
     coverage: dict | None = None,
     baseline_dir: str | None = None,
     decontamination: dict | None = None,
+    substring_dedup: dict | None = None,
 ) -> dict:
     """Build summary.json + success/failed logs from the written
     frames (covers every chunk written so far, including those from a
@@ -120,6 +121,8 @@ def summarize_dir(
         summary["coverage_bounds"] = dict(coverage)
     if decontamination:
         summary["decontamination"] = dict(decontamination)
+    if substring_dedup:
+        summary["substring_dedup"] = dict(substring_dedup)
     if baseline_dir is not None:
         prev, _ = _read_frames(spark, baseline_dir)
         reg = run_regression(violations, prev).persist()

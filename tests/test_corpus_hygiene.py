@@ -336,3 +336,75 @@ def test_span_removal_keep_first(spark):
     assert got["s2"]["n_removed_tokens"] == 5
     assert got["s2"]["clean_text"] == "w1 w2"
     assert got["s3"]["n_removed_tokens"] == 0
+
+
+def test_cli_substring_dedup(spark, tmp_path):
+    """--substring-dedup-table: duplicate_spans.parquet +
+    span_removals.parquet + (with --substring-dedup-apply)
+    clean_docs.parquet land in the report dir, counts in summary.json;
+    a later run WITHOUT the flag clears the stale frames."""
+    import json
+    import os
+
+    from opengauss_tools_datachecker_performance_spark.__main__ import main
+    from opengauss_tools_datachecker_performance_spark.synth import write_corpus
+
+    corpus_dir = str(tmp_path / "corpus")
+    write_corpus(spark, corpus_dir, n_docs=200, n_assets=20, n_partitions=2)
+    passage = "alpha beta gamma delta epsilon"
+    docs = _docs(
+        spark,
+        [("p1", "u1 u2 " + passage + " v1 v2"), ("p2", passage + " w1 w2")]
+        + [
+            # per-doc-disjoint tokens: shared filler words would form
+            # shared k-shingles and flag as cross-doc passages
+            ("d%d" % i, " ".join("t%dw%d" % (i, j) for j in range(6)))
+            for i in range(20)
+        ],
+    )
+    docs_path = str(tmp_path / "docs.parquet")
+    docs.write.parquet(docs_path)
+
+    report = str(tmp_path / "report")
+    main(
+        ["--source", f"{corpus_dir}/docs_source.parquet",
+         "--sink", f"{corpus_dir}/docs_sink.parquet",
+         "--report-dir", report,
+         "--substring-dedup-table", docs_path,
+         "--substring-dedup-apply"],
+        spark=spark,
+    )
+    spans = spark.read.parquet(os.path.join(report, "duplicate_spans.parquet"))
+    assert {r["doc_id"] for r in spans.collect()} == {"p1", "p2"}
+    plan = spark.read.parquet(os.path.join(report, "span_removals.parquet"))
+    assert [(r["doc_id"], r["start_pos"]) for r in plan.collect()] == [("p2", 0)]
+    clean = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(
+            os.path.join(report, "clean_docs.parquet")
+        ).collect()
+    }
+    assert clean["p2"]["clean_text"] == "w1 w2"
+    assert clean["p1"]["n_removed_tokens"] == 0
+    s = json.load(open(os.path.join(report, "summary.json")))
+    assert s["substring_dedup"]["n_duplicate_spans"] == 2
+    assert s["substring_dedup"]["n_removals"] == 1
+    assert s["substring_dedup"]["n_docs_affected"] == 1
+    assert s["substring_dedup"]["n_tokens_planned"] == 5
+    assert s["substring_dedup"]["n_tokens_removed"] == 5
+
+    # fresh run without the flags clears the stale frames + section
+    main(
+        ["--source", f"{corpus_dir}/docs_source.parquet",
+         "--sink", f"{corpus_dir}/docs_sink.parquet",
+         "--report-dir", report],
+        spark=spark,
+    )
+    for frame in (
+        "duplicate_spans.parquet",
+        "span_removals.parquet",
+        "clean_docs.parquet",
+    ):
+        assert not os.path.exists(os.path.join(report, frame))
+    s2 = json.load(open(os.path.join(report, "summary.json")))
+    assert "substring_dedup" not in s2
