@@ -277,11 +277,20 @@ def _run_substring_dedup(spark: SparkSession, args) -> dict | None:
         load_table,
     )
 
+    from opengauss_tools_datachecker_performance_spark.operators.dedup import (
+        release,
+    )
+
     docs = load_table(spark, args.substring_dedup_table)
     spans_path = os.path.join(args.report_dir, "duplicate_spans.parquet")
+    handles: dict = {}
     duplicate_spans(
-        docs, k=args.substring_dedup_k, min_docs=args.substring_dedup_min_docs
+        docs,
+        k=args.substring_dedup_k,
+        min_docs=args.substring_dedup_min_docs,
+        handles_out=handles,
     ).write.mode("overwrite").parquet(spans_path)
+    release(handles)  # downstream reads the written frame, not the plan
     # downstream stages read the WRITTEN frame — the shingle/island
     # computation runs once, not once per consumer
     spans = spark.read.parquet(spans_path)
@@ -289,10 +298,31 @@ def _run_substring_dedup(spark: SparkSession, args) -> dict | None:
     removal_plan(spans).write.mode("overwrite").parquet(plan_path)
     plan = spark.read.parquet(plan_path)
     counts = plan.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("doc_id").alias("d"),
-        F.coalesce(F.sum("span_tokens"), F.lit(0)).alias("t"),
+        F.count(F.when(F.col("action") == "remove", 1)).alias("n"),
+        F.countDistinct(
+            F.when(F.col("action") == "remove", F.col("doc_id"))
+        ).alias("d"),
     ).collect()[0]
+    # exact planned-token count: per doc, positions under remove spans
+    # MINUS keep-protected positions — overlapping spans counted once,
+    # so n_tokens_planned always equals an applied run's
+    # n_tokens_removed (a naive sum(span_tokens) double-counts overlap)
+    seq = F.sequence("start_pos", "end_pos")
+    per_doc = plan.groupBy("doc_id").agg(
+        F.array_distinct(
+            F.flatten(
+                F.collect_list(F.when(F.col("action") == "remove", seq))
+            )
+        ).alias("_rmp"),
+        F.array_distinct(
+            F.flatten(F.collect_list(F.when(F.col("action") == "keep", seq)))
+        ).alias("_kpp"),
+    )
+    planned = (
+        per_doc.select(F.size(F.array_except("_rmp", "_kpp")).alias("n"))
+        .agg(F.coalesce(F.sum("n"), F.lit(0)))
+        .collect()[0][0]
+    )
     section = {
         "table": args.substring_dedup_table,
         "k": args.substring_dedup_k,
@@ -300,7 +330,7 @@ def _run_substring_dedup(spark: SparkSession, args) -> dict | None:
         "n_duplicate_spans": spans.count(),
         "n_removals": counts["n"],
         "n_docs_affected": counts["d"],
-        "n_tokens_planned": int(counts["t"]),
+        "n_tokens_planned": int(planned),
     }
     if args.substring_dedup_apply:
         clean_path = os.path.join(args.report_dir, "clean_docs.parquet")

@@ -375,23 +375,28 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
              {_SQL_PASSAGE_KEY} AS passage_key
       FROM isl GROUP BY doc_id, g
     ),
-    removal AS (
-      SELECT doc_id, start_pos, end_pos
-      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY passage_key
-                      ORDER BY doc_id, start_pos) AS rn FROM spans)
-      WHERE rn > 1
+    plan AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY passage_key
+                ORDER BY doc_id, start_pos) AS rn FROM spans
     ),
     rem AS (
+      -- rn = 1 is the kept first carrier; its token range is
+      -- PROTECTED from overlapping removals (remove_spans' contract)
       SELECT doc_id,
-             list(struct_pack(s := start_pos, e := end_pos)) AS sps
-      FROM removal GROUP BY doc_id
+             list(struct_pack(s := start_pos, e := end_pos))
+               FILTER (WHERE rn > 1) AS rm,
+             list(struct_pack(s := start_pos, e := end_pos))
+               FILTER (WHERE rn = 1) AS kp
+      FROM plan GROUP BY doc_id
     ),
     final AS (
       SELECT n.doc_id, n.toks,
-             CASE WHEN r.sps IS NULL THEN n.toks
+             CASE WHEN r.rm IS NULL THEN n.toks
                   ELSE list_filter(n.toks,
-                       (x, i) -> len(list_filter(r.sps,
-                            s -> (i - 1) >= s.s AND (i - 1) <= s.e)) = 0)
+                       (x, i) -> len(list_filter(r.rm,
+                            s -> (i - 1) >= s.s AND (i - 1) <= s.e)) = 0
+                         OR len(list_filter(COALESCE(r.kp, []),
+                            s -> (i - 1) >= s.s AND (i - 1) <= s.e)) > 0)
              END AS clean
       FROM norm n LEFT JOIN rem r USING (doc_id)
     )

@@ -329,13 +329,68 @@ def test_span_removal_keep_first(spark):
     keys = {r["passage_key"] for r in spans.collect()}
     assert len(keys) == 1  # identical passage → identical key
     plan = removal_plan(spans).collect()
-    assert [(r["doc_id"], r["start_pos"]) for r in plan] == [("s2", 0)]
+    assert {(r["doc_id"], r["start_pos"], r["action"]) for r in plan} == {
+        ("s1", 2, "keep"),
+        ("s2", 0, "remove"),
+    }
     got = {r["doc_id"]: r for r in remove_spans(d, removal_plan(spans)).collect()}
     assert got["s1"]["n_removed_tokens"] == 0  # keep-first carrier
     assert got["s1"]["clean_text"] == "u1 u2 " + passage + " v1 v2 v3"
     assert got["s2"]["n_removed_tokens"] == 5
     assert got["s2"]["clean_text"] == "w1 w2"
     assert got["s3"]["n_removed_tokens"] == 0
+
+
+def test_span_removal_overlap_keeps_first_copy_intact(spark):
+    """Adjacent duplicated passages produce OVERLAPPING spans with
+    different passage_keys (islands separated by one non-duplicate
+    position overlap by k-2 tokens). The kept first carrier's range
+    must be protected from the overlapping removal — otherwise the
+    passage could vanish from every doc in the corpus."""
+    from opengauss_tools_datachecker_performance_spark.operators.substring_dedup import (
+        duplicate_spans,
+        removal_plan,
+        remove_spans,
+    )
+
+    # m carries both passages: "a b c" (m is first carrier → keep) and
+    # "c d e" (a2 is first carrier → m's copy is removable). The two
+    # spans in m overlap at token 2 ("c").
+    d = _docs(
+        spark,
+        [
+            ("m", "a b c d e"),
+            ("y", "a b c p1 q1"),
+            ("a2", "c d e r1 s1"),
+        ],
+    )
+    plan = removal_plan(duplicate_spans(d, min_docs=2))
+    got = {r["doc_id"]: r for r in remove_spans(d, plan).collect()}
+    # keep-one guarantee: "a b c" survives verbatim in m (its first
+    # carrier), even though m's overlapping "c d e" span is removed
+    assert got["m"]["clean_text"] == "a b c"
+    assert got["m"]["n_removed_tokens"] == 2  # d e, NOT c
+    assert got["y"]["clean_text"] == "p1 q1"
+    assert got["a2"]["clean_text"] == "c d e r1 s1"  # first carrier kept
+
+
+def test_remove_spans_null_text_passthrough(spark):
+    """Null-text docs pass through with 0 tokens and empty clean_text
+    (not nulls), matching the oracle's COALESCE fingerprint."""
+    from opengauss_tools_datachecker_performance_spark.operators.substring_dedup import (
+        duplicate_spans,
+        removal_plan,
+        remove_spans,
+    )
+
+    d = _docs(spark, [("n1", None), ("n2", "w1 w2 w3")])
+    got = {
+        r["doc_id"]: r
+        for r in remove_spans(d, removal_plan(duplicate_spans(d))).collect()
+    }
+    assert got["n1"]["n_tokens"] == 0
+    assert got["n1"]["n_removed_tokens"] == 0
+    assert got["n1"]["clean_text"] == ""
 
 
 def test_cli_substring_dedup(spark, tmp_path):
@@ -377,7 +432,10 @@ def test_cli_substring_dedup(spark, tmp_path):
     spans = spark.read.parquet(os.path.join(report, "duplicate_spans.parquet"))
     assert {r["doc_id"] for r in spans.collect()} == {"p1", "p2"}
     plan = spark.read.parquet(os.path.join(report, "span_removals.parquet"))
-    assert [(r["doc_id"], r["start_pos"]) for r in plan.collect()] == [("p2", 0)]
+    assert {(r["doc_id"], r["start_pos"], r["action"]) for r in plan.collect()} == {
+        ("p1", 2, "keep"),
+        ("p2", 0, "remove"),
+    }
     clean = {
         r["doc_id"]: r
         for r in spark.read.parquet(
