@@ -105,6 +105,14 @@ def build_parser() -> argparse.ArgumentParser:
              "new-vs-new; corpus text is never re-read)",
     )
     p.add_argument(
+        "--near-dup-clusters", action="store_true",
+        help="also cluster the emitted near-dup pairs into connected "
+             "components with one canonical survivor per component "
+             "(operators/clusters.py): doc-level keep/remove decisions "
+             "land in near_dup_clusters.parquet and counts in "
+             "summary.json's near_dup_clusters section",
+    )
+    p.add_argument(
         "--near-dup-update-index", action="store_true",
         help="after detection, index the batch into --near-dup-index "
              "(idempotent: replaying a batch overwrites its own batch= "
@@ -393,6 +401,17 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         parser.error(
             "--near-dup-index requires --near-dup-table (the new batch)"
         )
+    if args.near_dup_clusters and not args.near_dup_table:
+        parser.error("--near-dup-clusters requires --near-dup-table")
+    if args.near_dup_clusters and args.near_dup_index:
+        # incremental pairs are batch-vs-CORPUS: corpus members' text
+        # is not in --near-dup-table, so survivor ranking (longest
+        # text) and cluster membership would silently be computed over
+        # a partial node set — refuse rather than mislead
+        parser.error(
+            "--near-dup-clusters needs the full-corpus pair run; it "
+            "cannot cluster incremental (--near-dup-index) pairs"
+        )
     if bool(args.decontaminate_table) != bool(args.decontaminate_benchmark):
         parser.error(
             "--decontaminate-table and --decontaminate-benchmark "
@@ -672,6 +691,19 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 shutil.rmtree(
                     os.path.join(args.report_dir, frame), ignore_errors=True
                 )
+        if not args.near_dup_table:
+            shutil.rmtree(
+                os.path.join(args.report_dir, "near_dup_pairs.parquet"),
+                ignore_errors=True,
+            )
+        if not args.near_dup_clusters:
+            for frame in (
+                "near_dup_clusters.parquet",
+                "near_dup_survivors.parquet",
+            ):
+                shutil.rmtree(
+                    os.path.join(args.report_dir, frame), ignore_errors=True
+                )
         elif not args.substring_dedup_apply:
             shutil.rmtree(
                 os.path.join(args.report_dir, "clean_docs.parquet"),
@@ -749,6 +781,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     if chunked and schema_ok:
         _finalize_drift(spark, args.report_dir, args.drift_threshold)
     coverage = None
+    clusters_section = None
     if args.near_dup_table:
         from opengauss_tools_datachecker_performance_spark.operators.dedup import (
             coverage_counts,
@@ -826,6 +859,46 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         )
         coverage = coverage_counts(cov)
         release(cov)
+        if args.near_dup_clusters:
+            from opengauss_tools_datachecker_performance_spark.operators.components import (
+                connected_components,
+                dedup_survivors,
+            )
+
+            # cluster off the WRITTEN pair frame — the LSH plan is not
+            # recomputed once per label-propagation round
+            written_pairs = spark.read.parquet(
+                os.path.join(args.report_dir, "near_dup_pairs.parquet")
+            )
+            labels = connected_components(written_pairs)
+            labels.write.mode("overwrite").parquet(
+                os.path.join(args.report_dir, "near_dup_clusters.parquet")
+            )
+            labels_w = spark.read.parquet(
+                os.path.join(args.report_dir, "near_dup_clusters.parquet")
+            )
+            surv_path = os.path.join(
+                args.report_dir, "near_dup_survivors.parquet"
+            )
+            dedup_survivors(labels_w, nd_table).write.mode(
+                "overwrite"
+            ).parquet(surv_path)
+            surv = spark.read.parquet(surv_path)
+            stats = surv.agg(
+                F.count(F.lit(1)).alias("n_clusters"),
+                F.coalesce(F.sum("n_members"), F.lit(0)).alias("n_docs"),
+                F.coalesce(F.max("n_members"), F.lit(0)).alias("largest"),
+            ).collect()[0]
+            clusters_section = {
+                "n_clusters": stats["n_clusters"],
+                "n_docs_clustered": int(stats["n_docs"]),
+                "largest_cluster": int(stats["largest"]),
+                "n_removable": int(stats["n_docs"]) - stats["n_clusters"],
+            }
+            print(
+                f"[near-dup] {stats['n_clusters']} clusters over "
+                f"{stats['n_docs']} docs → {surv_path}"
+            )
     decon_section = _run_decontamination(spark, args)
     subdup_section = _run_substring_dedup(spark, args)
     summary = summarize_dir(
@@ -837,6 +910,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         baseline_dir=args.baseline_report_dir,
         decontamination=decon_section,
         substring_dedup=subdup_section,
+        near_dup_clusters=clusters_section,
     )
     ok = summary["result"] == "success"
     print(f"[validate] run={run_id} result={summary['result']}")

@@ -69,6 +69,7 @@ def summarize_dir(
     baseline_dir: str | None = None,
     decontamination: dict | None = None,
     substring_dedup: dict | None = None,
+    near_dup_clusters: dict | None = None,
 ) -> dict:
     """Build summary.json + success/failed logs from the written
     frames (covers every chunk written so far, including those from a
@@ -123,6 +124,8 @@ def summarize_dir(
         summary["decontamination"] = dict(decontamination)
     if substring_dedup:
         summary["substring_dedup"] = dict(substring_dedup)
+    if near_dup_clusters:
+        summary["near_dup_clusters"] = dict(near_dup_clusters)
     if baseline_dir is not None:
         prev, _ = _read_frames(spark, baseline_dir)
         reg = run_regression(violations, prev).persist()

@@ -199,3 +199,99 @@ def test_cli_near_dup_coverage_in_summary(spark, tmp_path):
         isinstance(v, int) and v >= 0 for v in cov.values()
     )
     assert os.path.isdir(os.path.join(report, "near_dup_pairs.parquet"))
+
+
+def test_cli_near_dup_clusters(spark, tmp_path):
+    """--near-dup-clusters turns the emitted pairs into connected
+    components + one survivor per cluster, with counts in summary.json;
+    a fresh run without the flag clears the stale frames."""
+    from opengauss_tools_datachecker_performance_spark.__main__ import main
+    from opengauss_tools_datachecker_performance_spark.synth import write_corpus
+
+    corpus = str(tmp_path / "corpus")
+    write_corpus(spark, corpus, n_docs=200, n_assets=30, n_partitions=2)
+    shared_a = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    shared_b = "one two three four five six seven eight nine ten " * 4
+    rows = [
+        ("a1", shared_a), ("a2", shared_a), ("a3", shared_a + "tail tail2"),
+        ("b1", shared_b), ("b2", shared_b),
+    ] + [
+        # per-doc-disjoint tokens so uniques share no shingles
+        ("u%d" % i, " ".join("q%dw%d" % (i, j) for j in range(12)))
+        for i in range(10)
+    ]
+    docs_tbl = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id string, text string").write.parquet(
+        docs_tbl
+    )
+    report = str(tmp_path / "report")
+    main(
+        [
+            "--source", f"{corpus}/docs_source.parquet",
+            "--report-dir", report,
+            "--near-dup-table", docs_tbl,
+            "--near-dup-clusters",
+        ],
+        spark=spark,
+    )
+    labels = {
+        r["id"]: r["component"]
+        for r in spark.read.parquet(
+            os.path.join(report, "near_dup_clusters.parquet")
+        ).collect()
+    }
+    assert labels == {
+        "a1": "a1", "a2": "a1", "a3": "a1", "b1": "b1", "b2": "b1"
+    }
+    surv = {
+        r["component"]: r
+        for r in spark.read.parquet(
+            os.path.join(report, "near_dup_survivors.parquet")
+        ).collect()
+    }
+    assert surv["a1"]["survivor_id"] == "a3"  # longest text wins
+    assert surv["a1"]["n_members"] == 3
+    assert surv["b1"]["n_members"] == 2
+    summary = json.load(open(os.path.join(report, "summary.json")))
+    sec = summary["near_dup_clusters"]
+    assert sec == {
+        "n_clusters": 2,
+        "n_docs_clustered": 5,
+        "largest_cluster": 3,
+        "n_removable": 3,
+    }
+
+    # flag combinations that would mislead are rejected up front
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(
+            ["--source", f"{corpus}/docs_source.parquet",
+             "--report-dir", report, "--near-dup-clusters"],
+            spark=spark,
+        )
+    with pytest.raises(SystemExit):
+        main(
+            ["--source", f"{corpus}/docs_source.parquet",
+             "--report-dir", report,
+             "--near-dup-table", docs_tbl,
+             "--near-dup-index", str(tmp_path / "idx"),
+             "--near-dup-clusters"],
+            spark=spark,
+        )
+
+    # fresh run without the flag clears the stale frames + section
+    main(
+        ["--source", f"{corpus}/docs_source.parquet",
+         "--report-dir", report],
+        spark=spark,
+    )
+    for frame in (
+        "near_dup_pairs.parquet",
+        "near_dup_clusters.parquet",
+        "near_dup_survivors.parquet",
+    ):
+        assert not os.path.exists(os.path.join(report, frame))
+    assert "near_dup_clusters" not in json.load(
+        open(os.path.join(report, "summary.json"))
+    )
