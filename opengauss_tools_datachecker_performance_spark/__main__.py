@@ -704,7 +704,11 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 shutil.rmtree(
                     os.path.join(args.report_dir, frame), ignore_errors=True
                 )
-        elif not args.substring_dedup_apply:
+        if args.substring_dedup_table and not args.substring_dedup_apply:
+            # passage scan requested without --apply: this run rewrites
+            # duplicate_spans/span_removals but never clean_docs, so a
+            # previous --apply run's cleaned corpus would survive as a
+            # stale artifact inconsistent with the new plan
             shutil.rmtree(
                 os.path.join(args.report_dir, "clean_docs.parquet"),
                 ignore_errors=True,

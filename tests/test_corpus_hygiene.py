@@ -451,6 +451,24 @@ def test_cli_substring_dedup(spark, tmp_path):
     assert s["substring_dedup"]["n_tokens_planned"] == 5
     assert s["substring_dedup"]["n_tokens_removed"] == 5
 
+    # fresh scan WITHOUT --apply: rewrites spans+plan but must clear
+    # the previous apply run's clean_docs — a stale cleaned corpus
+    # next to a summary section with no n_tokens_removed would read
+    # as current output (regression test: this cleanup was wrongly
+    # coupled to --near-dup-clusters)
+    main(
+        ["--source", f"{corpus_dir}/docs_source.parquet",
+         "--sink", f"{corpus_dir}/docs_sink.parquet",
+         "--report-dir", report,
+         "--substring-dedup-table", docs_path],
+        spark=spark,
+    )
+    assert os.path.exists(os.path.join(report, "duplicate_spans.parquet"))
+    assert os.path.exists(os.path.join(report, "span_removals.parquet"))
+    assert not os.path.exists(os.path.join(report, "clean_docs.parquet"))
+    s_mid = json.load(open(os.path.join(report, "summary.json")))
+    assert "n_tokens_removed" not in s_mid["substring_dedup"]
+
     # fresh run without the flags clears the stale frames + section
     main(
         ["--source", f"{corpus_dir}/docs_source.parquet",
