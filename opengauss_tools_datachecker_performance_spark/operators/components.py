@@ -43,7 +43,7 @@ module belongs to the LLM-training-pipeline extensions
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -144,7 +144,14 @@ def dedup_survivors(
     ties broken by smallest id (both deterministic and
     SQL-mirrorable). → (component, survivor_id, n_members,
     survivor_len). ``labels`` is connected_components output; ``docs``
-    supplies the ranking features."""
+    supplies the ranking features.
+
+    Deliberately NOT a row_number window: a boilerplate cluster can
+    hold millions of members, and a window must SORT that one
+    component's whole group in a single task. min(struct(-len, id))
+    is the same (longest, then smallest-id) choice as a partial-
+    aggregated, map-side-combining, skew-tolerant groupBy — the
+    removal_plan discipline (operators/substring_dedup.py)."""
     j = labels.join(
         docs.select(
             F.col(id_col).cast("string").alias("id"),
@@ -152,18 +159,18 @@ def dedup_survivors(
         ),
         "id",
     )
-    w = Window.partitionBy("component").orderBy(
-        F.col("text_len").desc(), F.col("id").asc()
-    )
-    wc = Window.partitionBy("component")
+    best = F.min(
+        F.struct(
+            (-F.col("text_len")).alias("neg_len"), F.col("id").alias("id")
+        )
+    ).alias("_best")
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .withColumn("n_members", F.count(F.lit(1)).over(wc))
-        .where(F.col("rn") == 1)
+        j.groupBy("component")
+        .agg(best, F.count(F.lit(1)).alias("n_members"))
         .select(
             "component",
-            F.col("id").alias("survivor_id"),
+            F.col("_best.id").alias("survivor_id"),
             F.col("n_members").cast("long").alias("n_members"),
-            F.col("text_len").alias("survivor_len"),
+            (-F.col("_best.neg_len")).cast("long").alias("survivor_len"),
         )
     )
