@@ -27,7 +27,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from opengauss_tools_datachecker_performance_spark.functions.hashing import (
     portable_hash64,
@@ -121,6 +120,22 @@ def minhash_buckets_from_shingle_rows(
     )
 
 
+def _with_group_size(df: DataFrame, keys: list[str], n_col: str) -> DataFrame:
+    """Attach per-group row counts via a partial-aggregated groupBy +
+    co-partitioned join back — deliberately NOT
+    ``count() OVER (PARTITION BY keys)``: WindowExec must buffer each
+    partition-key group inside one task, and the group whose size we
+    are measuring is exactly the degenerate mega-bucket the size cap
+    exists to drop — at corpus scale the window materializes the
+    blow-up it is guarding against. The aggregate side is one thin row
+    per group (map-side combined, skew-immune), and the join is keyed
+    on the same columns, so the mega-group's rows *stream* through
+    their partition instead of buffering, and AQE broadcasts the size
+    frame when it is small."""
+    sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias(n_col))
+    return df.join(sizes, keys)
+
+
 def coverage_counts(coverage: dict) -> dict:
     """Materialize the drop-accounting frames registered by the dedup
     operators into plain counts (one tiny action each) — pipeline runs
@@ -155,9 +170,7 @@ def lsh_candidate_pairs(
     the incremental-index path (operators/dedup_index.py) uses it to
     restrict candidates to batch-involving pairs while the occupancy
     cap still evaluates over the FULL bucket union."""
-    sized = buckets.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "band_key"))
-    )
+    sized = _with_group_size(buckets, ["band", "band_key"], "bucket_n")
     if coverage_out is not None:
         coverage_out["minhash_dropped_bucket_entries"] = sized.filter(
             F.col("bucket_n") > max_bucket_size
@@ -391,9 +404,11 @@ def simhash_near_duplicates(
     dropped: DataFrame | None = None
     cand: DataFrame | None = None
     for band in range(SIMHASH_BANDS):
-        sized = bands_df.select(
-            "doc_id", F.col(f"b{band}").alias("_key")
-        ).withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("_key")))
+        sized = _with_group_size(
+            bands_df.select("doc_id", F.col(f"b{band}").alias("_key")),
+            ["_key"],
+            "_n",
+        )
         if coverage_out is not None:
             over = sized.filter(F.col("_n") > max_bucket_size)
             dropped = over if dropped is None else dropped.unionByName(over)
@@ -522,10 +537,16 @@ def embedding_near_duplicates(
     cand: DataFrame | None = None
     dropped: DataFrame | None = None
     for t in range(n_tables):
-        sized = v.select(
-            "vid",
-            hyperplane_signature(F.col("vec"), dims, n_planes, t).alias("bucket"),
-        ).withColumn("bucket_n", F.count(F.lit(1)).over(Window.partitionBy("bucket")))
+        sized = _with_group_size(
+            v.select(
+                "vid",
+                hyperplane_signature(F.col("vec"), dims, n_planes, t).alias(
+                    "bucket"
+                ),
+            ),
+            ["bucket"],
+            "bucket_n",
+        )
         if coverage_out is not None:
             over = sized.filter(F.col("bucket_n") > max_bucket_size)
             dropped = over if dropped is None else dropped.unionByName(over)
@@ -604,9 +625,7 @@ def embedding_near_duplicates_ivf(
         nprobe,
     ).select("vid", "cell")
 
-    sized = assigned.withColumn(
-        "cell_n", F.count(F.lit(1)).over(Window.partitionBy("cell"))
-    )
+    sized = _with_group_size(assigned, ["cell"], "cell_n")
     if coverage_out is not None:
         coverage_out["ivf_dropped_cell_entries"] = sized.filter(
             F.col("cell_n") > max_cell_size
