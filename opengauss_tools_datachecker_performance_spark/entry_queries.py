@@ -417,6 +417,40 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_exact_decisions",
+    f"""
+    WITH docs2 AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+      UNION ALL
+      SELECT CAST(doc_id + 100000 AS VARCHAR), text FROM documents WHERE doc_id % 7 = 0
+    ), fp AS (
+      SELECT doc_id, md5({_SQL_NORM.format(t='text')}) AS fingerprint FROM docs2
+    ), g AS (
+      SELECT fingerprint, MIN(doc_id) AS keep_id
+      FROM fp GROUP BY 1 HAVING COUNT(*) > 1
+    )
+    SELECT fp.doc_id, fp.fingerprint, g.keep_id,
+           CASE WHEN fp.doc_id = g.keep_id THEN 'keep' ELSE 'remove' END AS action
+    FROM fp JOIN g USING (fingerprint)
+    """,
+)
+def q_dedup_exact_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level exact-dedup decisions (operators.dedup.
+    exact_duplicate_decisions): one keep/remove row per duplicate-group
+    member — the pipeline-application form of dedup_exact, skew-safe
+    (count+min aggregate + join back; no per-group id arrays)."""
+    from opengauss_tools_datachecker_performance_spark.operators.dedup import (
+        exact_duplicate_decisions,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return exact_duplicate_decisions(d.unionByName(dups), "doc_id", "text")
+
+
+@query(
     "token_count",
     f"""
     SELECT doc_id,

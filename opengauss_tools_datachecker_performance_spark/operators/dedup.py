@@ -59,6 +59,39 @@ def exact_duplicate_groups(
     )
 
 
+def exact_duplicate_decisions(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """→ (doc_id, fingerprint, keep_id, action): one row per document
+    whose content group has >1 member; the min-id member gets
+    ``action='keep'``, every other copy ``'remove'``.
+
+    The row-output counterpart of :func:`exact_duplicate_groups` for
+    pipeline application (filter/anti-join on action): the aggregate
+    side is count+min only (partial-aggregated, skew-immune), and the
+    ids come from joining the doc stream back on the fingerprint — a
+    10^8-copy boilerplate group streams through its partition instead
+    of collecting into one ``all_ids`` array."""
+    fp = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        fingerprint(F.col(text_col)).alias("fingerprint"),
+    )
+    groups = (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("_n"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("_n") > 1)
+        .drop("_n")
+    )
+    return fp.join(groups, "fingerprint").select(
+        "doc_id",
+        "fingerprint",
+        "keep_id",
+        F.when(F.col("doc_id") == F.col("keep_id"), F.lit("keep"))
+        .otherwise(F.lit("remove"))
+        .alias("action"),
+    )
+
+
 def minhash_band_buckets(
     df: DataFrame,
     id_col: str,

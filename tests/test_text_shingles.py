@@ -205,3 +205,49 @@ def test_dedup_coverage_accounting_and_release(spark, tmp_path):
         json.load(open(os.path.join(rd, "summary.json")))["coverage_bounds"]
         == s["coverage_bounds"]
     )
+
+
+def test_exact_duplicate_decisions_row_output(spark):
+    """exact_duplicate_decisions emits one keep/remove row per member
+    of a >1-member content group (min-id keeps), agrees with
+    exact_duplicate_groups on membership, and plans no per-group id
+    arrays (the skew-safe application form)."""
+    from opengauss_tools_datachecker_performance_spark.operators.dedup import (
+        exact_duplicate_decisions,
+        exact_duplicate_groups,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("a1", "shared text one"),
+            ("a2", "Shared   TEXT one "),  # same after normalization
+            ("a3", "shared text one"),
+            ("b1", "unique text here"),
+            ("c1", "another shared"),
+            ("c2", "another shared"),
+        ],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["keep_id"], r["action"])
+        for r in exact_duplicate_decisions(docs, "doc_id", "text").collect()
+    }
+    assert got == {
+        "a1": ("a1", "keep"),
+        "a2": ("a1", "remove"),
+        "a3": ("a1", "remove"),
+        "c1": ("c1", "keep"),
+        "c2": ("c1", "remove"),
+    }
+    # membership parity with the grouped form
+    groups = exact_duplicate_groups(docs, "doc_id", "text").collect()
+    member_union = {i for r in groups for i in r["all_ids"]}
+    assert member_union == set(got)
+    # no collect_list in the physical plan (row output, not arrays)
+    plan = (
+        exact_duplicate_decisions(docs, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "collect_list" not in plan
