@@ -40,26 +40,55 @@ def stratified_sample(
     strata_col: str | Column,
     n_per_stratum: int,
     id_col: str = "doc_id",
+    oversample: int = 4,
 ) -> DataFrame:
     """Keep the first ``n_per_stratum`` docs of each stratum under the
     deterministic (portable_hash64(id), id) order → (doc_id, stratum,
     sample_rank). Hash order makes membership stable under corpus
     append-order changes and uniformly spread, i.e. a seedless uniform
-    sample per stratum."""
+    sample per stratum.
+
+    Skew shape: ranking a whole stratum with one row_number window
+    sorts that stratum inside a single task — a dominant stratum (one
+    language at 10^11 docs) is the mega-group trap, and AQE skew
+    splitting does not apply to windows. Because the order key is a
+    uniform hash, the top-n rows of a size-m stratum lie below the
+    ~(oversample·n+256)/m hash quantile, so a per-stratum COUNT
+    (partial-aggregated, skew-immune) plus a hash-threshold filter
+    prunes each stratum to ≈ oversample·n+256 survivors BEFORE the
+    window; strata at or below that size skip the filter entirely.
+    The window then ranks a bounded group regardless of corpus scale,
+    and the result is bit-identical to ranking the full stratum
+    (survivors ⊃ true top-n unless a Binomial(m, (4n+256)/m) draw
+    lands below n — probability < e^-100, the same acceptance class
+    as the engine's 64-bit digest collisions)."""
     stratum = (
         F.col(strata_col) if isinstance(strata_col, str) else strata_col
     ).alias("stratum")
-    ranked = docs.select(
+    base = docs.select(
         F.col(id_col).cast("string").alias("doc_id"), stratum
-    ).withColumn(
+    ).withColumn("_h", portable_hash64(F.col("doc_id")))
+    survivors_target = oversample * n_per_stratum + 256
+    sizes = base.groupBy("stratum").agg(F.count(F.lit(1)).alias("_m"))
+    # portable_hash64 is uniform on [0, 2^60); keep the hash prefix
+    # whose expected size is survivors_target
+    keep_p = F.least(
+        F.lit(1.0),
+        F.lit(float(survivors_target)) / F.col("_m").cast("double"),
+    )
+    pruned = base.join(sizes, "stratum").filter(
+        (F.col("_m") <= F.lit(survivors_target))
+        | (F.col("_h").cast("double") <= keep_p * F.lit(float(2**60)))
+    )
+    ranked = pruned.withColumn(
         "sample_rank",
         F.row_number().over(
-            Window.partitionBy("stratum").orderBy(
-                portable_hash64(F.col("doc_id")), F.col("doc_id")
-            )
+            Window.partitionBy("stratum").orderBy("_h", "doc_id")
         ),
     )
-    return ranked.filter(F.col("sample_rank") <= n_per_stratum)
+    return ranked.filter(F.col("sample_rank") <= n_per_stratum).select(
+        "doc_id", "stratum", "sample_rank"
+    )
 
 
 def token_pack_plan(

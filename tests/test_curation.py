@@ -146,3 +146,25 @@ def test_pack_manifest_budget_contract(spark):
     a = pack_manifest(plan.drop("budget"), 7).collect()
     b = pack_manifest(plan).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_stratified_sample_hash_prefilter_exact(spark):
+    """A stratum LARGER than the prefilter's survivor target
+    (oversample*n + 256) takes the hash-threshold path; the sample
+    must still be exactly the n smallest (portable_hash64(id), id)
+    docs of the full stratum, ranked 1..n."""
+    import hashlib
+
+    n_docs, n = 700, 3  # target = 4*3 + 256 = 268 < 700 → prefilter on
+    ids = [f"d{i}" for i in range(n_docs)]
+    d = spark.createDataFrame(
+        [(i, "s") for i in ids], "doc_id string, stratum string"
+    )
+    out = sorted(
+        stratified_sample(d, "stratum", n).collect(),
+        key=lambda r: r["sample_rank"],
+    )
+    phash = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)  # noqa: E731
+    expected = sorted(ids, key=lambda i: (phash(i), i))[:n]
+    assert [r["doc_id"] for r in out] == expected
+    assert [r["sample_rank"] for r in out] == [1, 2, 3]
