@@ -94,10 +94,22 @@ def summarize_dir(
     for c in by_constraint.values():
         c["failed_partitions"].sort()
 
-    # first ≤100 keys per (constraint, detail) category, key-ordered
-    w = Window.partitionBy("constraint", "detail").orderBy("key")
+    # first ≤100 keys per (constraint, detail) category, key-ordered.
+    # Two-phase top-k: a single window over (constraint, detail) sorts
+    # a flooded category's ENTIRE violation set in one task (the run
+    # may be uncapped — --max-violations defaults to None). Phase 1
+    # pre-caps per (constraint, detail, part) — groups bounded by one
+    # partition's violations — and phase 2 ranks the ≤ 100·#parts
+    # survivors per category; the global smallest 100 keys are always
+    # inside the union of per-part smallest 100s.
+    w_part = Window.partitionBy("constraint", "detail", "part").orderBy(
+        "key", "span_idx"
+    )
+    w = Window.partitionBy("constraint", "detail").orderBy("key", "span_idx")
     display = (
-        violations.withColumn("rn", F.row_number().over(w))
+        violations.withColumn("rn", F.row_number().over(w_part))
+        .filter(F.col("rn") <= MAX_DISPLAY_SIZE)
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= MAX_DISPLAY_SIZE)
         .drop("rn")
         .collect()
