@@ -218,14 +218,17 @@ def q_canon_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_checkpoint_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: equal-height slice boundaries — every Nth PK of sorted order
-    (CheckPoint.java:75-100; mapper queryPointList). At scale the engine
-    prefers approxQuantile/partition bounds; this is the exact variant."""
-    from pyspark.sql.window import Window
+    (CheckPoint.java:75-100; mapper queryPointList). Exact variant, but
+    scale-safe: operators.skew.global_rank range-partitions and ranks
+    locally (zipWithIndex pattern) instead of a single-task global
+    window, so the exact boundaries stay computable at corpus scale."""
+    from opengauss_tools_datachecker_performance_spark.operators.skew import (
+        global_rank,
+    )
 
-    orders = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
     return (
-        orders.select("o_orderkey", F.row_number().over(w).alias("rn"))
+        global_rank(orders, ["o_orderkey"])
         .filter(F.col("rn") % 500 == 1)
         .select("rn", F.col("o_orderkey").cast("string").alias("boundary_key"))
     )

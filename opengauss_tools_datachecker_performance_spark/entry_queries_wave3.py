@@ -259,9 +259,20 @@ def q_diff_display_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = q_diff_full_outer(spark, sf_dir)
+    # Two-phase top-k: there are only 3 diff_type groups, so a single
+    # window would sort a flooded category's ENTIRE diff set in one
+    # task. Phase 1 ranks within (diff_type, salt) — 64-way spread —
+    # and phase 2 ranks the <=100*64 survivors; the global smallest
+    # 100 keys per category are always inside the union of per-salt
+    # smallest 100s (keys are unique, so ordering is total). The salt
+    # never reaches the output: same rows as the single-window plan.
+    w_salt = Window.partitionBy("diff_type", "_salt").orderBy("key")
     w = Window.partitionBy("diff_type").orderBy("key")
     return (
-        d.withColumn("rn", F.row_number().over(w))
+        d.withColumn("_salt", F.pmod(F.xxhash64("key"), F.lit(64)))
+        .withColumn("rn", F.row_number().over(w_salt))
+        .filter(F.col("rn") <= 100)
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 100)
         .select("key", "diff_type")
     )

@@ -18,7 +18,7 @@ survivor per cluster. Two oracle-checked entries close that gap:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from opengauss_tools_datachecker_performance_spark.entry_queries import (
@@ -135,11 +135,16 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     chains make the closure non-trivial: transitive membership, not
     just pair mirroring."""
     labels, _ = _cluster_labels(spark, sf_dir)
-    wc = Window.partitionBy("component")
-    return labels.select(
-        F.col("id").alias("doc_id"),
-        "component",
-        F.count(F.lit(1)).over(wc).cast("long").alias("cluster_size"),
+    # groupBy+join instead of count-over-window: a window partitioned
+    # by component gathers a mega-cluster (boilerplate corpora produce
+    # components of 10^6+ members) into one task, while the groupBy
+    # partial-aggregates map-side and the components-sized size frame
+    # joins back (AQE broadcasts it when small).
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return labels.join(sizes, "component").select(
+        F.col("id").alias("doc_id"), "component", "cluster_size"
     )
 
 

@@ -65,6 +65,78 @@ def salted_repartition(
     )
 
 
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_name: str = "rn",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Exact global ``row_number() OVER (ORDER BY order_cols)`` without
+    the single-task global window — the DataFrame analogue of
+    ``RDD.zipWithIndex``, for a NUMERIC (or date/timestamp) leading
+    order column. Three bounded passes:
+
+    1. min/max of the leading column (partial agg, one scalar row);
+    2. rows bucket by a linear map of the leading column onto
+       ``n_buckets`` ranges — explicitly deterministic, unlike
+       ``repartitionByRange``, whose RangePartitioner seeds its
+       reservoir sampler from the runtime RDD id, so two jobs over
+       the same lazy exchange can compute DIFFERENT boundaries (the
+       offsets would then belong to the wrong partitions — observed,
+       not hypothetical). Per-bucket counts collect to the driver
+       (#buckets rows) and cumulate into starting offsets;
+    3. rank locally inside each bucket (window groups bounded by one
+       bucket) and add the bucket's offset via a broadcast join.
+
+    The linear map is weakly monotone (IEEE multiply/divide by
+    positive constants preserves ordering), and rows that tie on the
+    leading column always share a bucket, so offset + local rank is
+    exactly the global rank. ``order_cols`` should be a unique key
+    for deterministic ranks. Bucket sizes follow the VALUE
+    distribution, not an equi-depth sample — a pathological
+    distribution concentrates buckets (still never worse than the
+    single-task window); size ``n_buckets`` generously (default 4×
+    shuffle partitions).
+    """
+    spark = df.sparkSession
+    if n_buckets is None:
+        n_buckets = 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+    lead = F.col(order_cols[0]).cast("double")
+    mm = df.agg(
+        F.min(lead).alias("lo"), F.max(lead).alias("hi")
+    ).collect()[0]
+    if mm["lo"] is None:  # empty input (or all-NULL key)
+        return df.withColumn(rank_name, F.lit(None).cast("long")).limit(0)
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    span = hi - lo
+    if span > 0:
+        bucket = F.least(
+            F.lit(n_buckets - 1),
+            F.greatest(
+                F.lit(0), F.floor((lead - F.lit(lo)) / F.lit(span) * n_buckets)
+            ),
+        ).cast("int")
+    else:
+        bucket = F.lit(0)
+    bucketed = df.withColumn("_b", bucket)
+    counts = bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("_n")).collect()
+    cum = 0
+    offsets = []
+    for r in sorted(counts, key=lambda r: r["_b"]):
+        offsets.append((r["_b"], cum))
+        cum += r["_n"]
+    off = spark.createDataFrame(offsets, "_b int, _off long")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_b").orderBy(*[F.col(c) for c in order_cols])
+    return (
+        bucketed.withColumn("_lrn", F.row_number().over(w))
+        .join(F.broadcast(off), "_b")
+        .withColumn(rank_name, (F.col("_lrn") + F.col("_off")).cast("long"))
+        .drop("_b", "_lrn", "_off")
+    )
+
+
 def partition_sizes(df: DataFrame) -> list[int]:
     """Rows per physical partition (diagnostic; one tiny agg job)."""
     rows = (

@@ -13,7 +13,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.window import Window
 
 
 def read_csv_with_idx(
@@ -25,16 +24,50 @@ def read_csv_with_idx(
     """CSV scan + (src_file, row_idx) locator columns.
 
     row_idx is the 0-based row number within its file in file order —
-    the analogue of the reference's Difference.idx CSV locator. Uses a
-    per-file window over monotonically_increasing_id (which is
-    ordered within an input partition; files smaller than one split
-    get exact CSV line numbers, the reference's granularity)."""
+    the analogue of the reference's Difference.idx CSV locator.
+    monotonically_increasing_id orders rows within each input split
+    (its high 31 bits are the split's partition index), so files
+    smaller than one split get exact CSV line numbers — the
+    reference's granularity; a file Spark splits further is indexed
+    in (split, row-in-split) order.
+
+    Scale-safe ranking: a per-file window would gather a multi-split
+    file (one 1 TB CSV) into a single task. Instead, rows rank inside
+    (src_file, split) — groups bounded by one input split — and each
+    split's starting offset within its file comes from a per-split
+    count pass cumulated on the driver (#splits rows, deterministic:
+    the scan's split layout is a pure function of the file listing
+    and size confs) and joined back as a broadcast."""
+    from pyspark.sql.window import Window
+
     df = (
         spark.read.schema(schema)
         .option("header", str(header).lower())
         .csv(path)
         .withColumn("src_file", F.element_at(F.split(F.input_file_name(), "/"), -1))
         .withColumn("_mono", F.monotonically_increasing_id())
+        .withColumn("_split", F.shiftrightunsigned("_mono", 33).cast("long"))
     )
-    w = Window.partitionBy("src_file").orderBy("_mono")
-    return df.withColumn("row_idx", F.row_number().over(w) - 1).drop("_mono")
+    counts = (
+        df.groupBy("src_file", "_split").agg(F.count(F.lit(1)).alias("_n")).collect()
+    )
+    offsets = []
+    by_file: dict[str, int] = {}
+    for r in sorted(counts, key=lambda r: (r["src_file"], r["_split"])):
+        cum = by_file.get(r["src_file"], 0)
+        offsets.append((r["src_file"], r["_split"], cum))
+        by_file[r["src_file"]] = cum + r["_n"]
+    if not offsets:
+        offsets = [("", -1, 0)]
+    off = df.sparkSession.createDataFrame(
+        offsets, "src_file string, _split long, _off long"
+    )
+    w = Window.partitionBy("src_file", "_split").orderBy("_mono")
+    return (
+        df.withColumn("_lrn", F.row_number().over(w))
+        .join(F.broadcast(off), ["src_file", "_split"])
+        .withColumn("row_idx", (F.col("_lrn") + F.col("_off") - 1).cast("int"))
+        .select(
+            *[c for c in df.columns if c not in ("_mono", "_split")], "row_idx"
+        )
+    )

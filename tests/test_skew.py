@@ -54,3 +54,36 @@ def test_salted_two_level_agg_exact(spark):
         .collect()
     }
     assert direct == two_level
+
+
+def test_global_rank_matches_sorted_enumeration(spark):
+    """global_rank == row_number over the global order, on a skewed
+    value distribution (clustered + sparse tail + negatives)."""
+    from opengauss_tools_datachecker_performance_spark.operators.skew import global_rank
+
+    df = spark.range(3_000).select(
+        F.when(F.col("id") % 3 == 0, F.col("id"))
+        .when(F.col("id") % 3 == 1, F.col("id") * 1000)
+        .otherwise(-F.col("id"))
+        .alias("k")
+    )
+    got = {r["k"]: r["rn"] for r in global_rank(df, ["k"], n_buckets=16).collect()}
+    expect = {k: i + 1 for i, k in enumerate(sorted(got))}
+    assert len(got) == 3_000
+    assert got == expect
+
+
+def test_global_rank_edge_cases(spark):
+    from opengauss_tools_datachecker_performance_spark.operators.skew import global_rank
+
+    empty = spark.range(0).select(F.col("id").alias("k"))
+    assert global_rank(empty, ["k"]).collect() == []
+    # constant leading key (span == 0): falls back to one bucket, ranks
+    # by the tie-break column
+    const = spark.range(50).select(
+        F.lit(7).alias("k"), F.col("id").alias("tie")
+    )
+    rows = global_rank(const, ["k", "tie"], n_buckets=8).collect()
+    assert sorted((r["tie"], r["rn"]) for r in rows) == [
+        (i, i + 1) for i in range(50)
+    ]
