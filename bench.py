@@ -198,6 +198,8 @@ def main() -> None:
         "ann_lsh",
         "ann_ivf",
         "token_count",
+        "vocab_stats",
+        "lm_surprisal",
         "text_quality",
         "lang_id_profile",
         "drift_quantile_profile",

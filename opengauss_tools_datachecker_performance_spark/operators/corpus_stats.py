@@ -1,0 +1,161 @@
+"""Corpus-level statistics + self-trained LM quality scoring.
+
+Training-data-pipeline operators over the whole corpus (beyond the
+reference's per-table checks, per the build brief):
+
+* :func:`vocab_stats` — top-K vocabulary by total term frequency with
+  document frequency (the data-audit staple: inspect what the corpus
+  is actually made of; the df column feeds stopword/boilerplate
+  policies).
+* :func:`bigram_surprisal_scores` — per-doc quality score from a
+  bigram language model trained on the corpus itself — the CCNet
+  KenLM-perplexity filter (Wenzek et al. 2020) re-expressed for
+  cross-engine determinism. Surprisal is measured in WHOLE BITS via
+  integer bit-length: ``bitlen(C(w1)+V) - bitlen(C(w1,w2)+1)`` per
+  bigram, which brackets the add-one-smoothed ``-log2 P(w2|w1)``
+  within 1 bit. ``ln``/``log`` are libm-dependent (JVM vs DuckDB
+  disagree in final ulps), so a float formulation could not be
+  oracle-checked bit-for-bit; bit-length of an exact integer is
+  deterministic everywhere (Spark ``length(bin(x))`` == DuckDB
+  ``length(bin(x))``), and the ranking semantics — rare-sequence docs
+  score high — survive. A production run can swap the bits expression
+  for true ``log2`` with the identical plan shape.
+
+Scale shape (the 100 TB reading):
+
+* Every count is a partial-aggregated ``groupBy`` (map-side combine;
+  a hot token arrives at its reducer pre-combined per map task).
+* The model joins are 1:N — the count side carries ONE row per
+  bigram / history token, so hot keys ("the …") fan out but never
+  blow up; AQE picks broadcast vs sort-merge from the model's
+  measured size.
+* The vocabulary-size scalar rides a ``crossJoin(broadcast(1 row))``
+  — no driver round-trip in the plan.
+* The top-K selection is a two-phase window (64-way salt pre-cap,
+  then a ≤ 64·K-row final rank) — never a single task sorting the
+  whole vocabulary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from opengauss_tools_datachecker_performance_spark.functions.text import (
+    normalized_text,
+    ws_tokens,
+)
+
+
+def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, _toks): normalized whitespace tokens per doc."""
+    return df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        ws_tokens(normalized_text(F.col(text_col))).alias("_toks"),
+    )
+
+
+def vocab_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 100,
+) -> DataFrame:
+    """→ (token, tf, df, rank): the corpus's ``top_k`` terms by total
+    frequency (ties → token ascending), with document frequency.
+
+    Plan: explode tokens → groupBy(doc, token) partial agg (also the
+    df building block) → groupBy(token) for (tf, df) → two-phase
+    top-K (salted pre-cap bounds every window group)."""
+    base = _doc_tokens(df, id_col, text_col)
+    dt = (
+        base.select("doc_id", F.explode("_toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    v = dt.groupBy("token").agg(
+        F.sum("_n").cast("long").alias("tf"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+    )
+    order = [F.col("tf").desc(), F.col("token").asc()]
+    w_salt = Window.partitionBy("_salt").orderBy(*order)
+    w = Window.partitionBy().orderBy(*order)
+    return (
+        v.withColumn("_salt", F.pmod(F.xxhash64("token"), F.lit(64)))
+        .withColumn("_rn", F.row_number().over(w_salt))
+        .filter(F.col("_rn") <= top_k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select("token", "tf", "df", "rank")
+    )
+
+
+def bigram_rows(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, bigram): one row per adjacent token pair, rendered as
+    ``"w1 w2"`` (tokens are whitespace-split, so the space delimiter
+    is unambiguous). Per-doc window — groups bounded by doc length."""
+    toks = _doc_tokens(df, id_col, text_col).select(
+        "doc_id", F.posexplode("_toks").alias("_i", "_tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("_i")
+    return (
+        toks.withColumn("_next", F.lead("_tok").over(w))
+        .filter(F.col("_next").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "_tok", "_next").alias("bigram"))
+    )
+
+
+def _bitlen(x: F.Column) -> F.Column:
+    """floor(log2(x)) + 1 for positive integers — exact, via the
+    binary string rendering both engines share."""
+    return F.length(F.bin(x))
+
+
+def bigram_surprisal_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """→ (doc_id, n_bigrams, surprisal_bits, avg_bits): per-doc
+    integer surprisal under the corpus's own add-one-smoothed bigram
+    model (see the module docstring for why whole bits, not ln).
+
+    * ``C(w1,w2)`` = corpus bigram counts; ``C(w1)`` = Σ_w2 C(w1,w2)
+      (history mass — so smoothed probabilities sum below 1);
+      ``V`` = distinct-token vocabulary size.
+    * per-bigram bits = bitlen(C(w1)+V) − bitlen(C(w1,w2)+1) ≥ 0
+      (C(w1,w2) ≤ C(w1), 1 ≤ V — monotone bitlen).
+    * ``avg_bits`` = round(surprisal_bits / n_bigrams, 6) as
+      DECIMAL(10,6) — a division of two exact integers is one
+      correctly-rounded IEEE op, deterministic cross-engine.
+
+    Docs with < 2 tokens have no bigrams and are absent (the filter
+    consumer treats missing as unscorable, not as quality 0)."""
+    bg = bigram_rows(df, id_col, text_col)
+    bgc = bg.groupBy("bigram").agg(F.count(F.lit(1)).cast("long").alias("_c2"))
+    hist = bgc.groupBy(
+        F.substring_index("bigram", " ", 1).alias("_w1")
+    ).agg(F.sum("_c2").alias("_c1"))
+    vocab = (
+        _doc_tokens(df, id_col, text_col)
+        .select(F.explode("_toks").alias("token"))
+        .agg(F.countDistinct("token").cast("long").alias("_v"))
+    )
+    bits = _bitlen(F.col("_c1") + F.col("_v")) - _bitlen(F.col("_c2") + 1)
+    scored = (
+        bg.join(bgc, "bigram")
+        .withColumn("_w1", F.substring_index("bigram", " ", 1))
+        .join(hist, "_w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", bits.cast("long").alias("_bits"))
+    )
+    n = F.count(F.lit(1))
+    total = F.sum("_bits")
+    return scored.groupBy("doc_id").agg(
+        n.cast("long").alias("n_bigrams"),
+        total.cast("long").alias("surprisal_bits"),
+        F.round(total.cast("double") / n, 6)
+        .cast("decimal(10,6)")
+        .alias("avg_bits"),
+    )
