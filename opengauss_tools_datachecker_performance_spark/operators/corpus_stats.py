@@ -115,7 +115,10 @@ def _bitlen(x: F.Column) -> F.Column:
 
 
 def bigram_surprisal_scores(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    handles_out: dict | None = None,
 ) -> DataFrame:
     """→ (doc_id, n_bigrams, surprisal_bits, avg_bits): per-doc
     integer surprisal under the corpus's own add-one-smoothed bigram
@@ -131,9 +134,24 @@ def bigram_surprisal_scores(
       correctly-rounded IEEE op, deterministic cross-engine.
 
     Docs with < 2 tokens have no bigrams and are absent (the filter
-    consumer treats missing as unscorable, not as quality 0)."""
-    bg = bigram_rows(df, id_col, text_col)
-    bgc = bg.groupBy("bigram").agg(F.count(F.lit(1)).cast("long").alias("_c2"))
+    consumer treats missing as unscorable, not as quality 0).
+
+    The per-(doc, bigram) count frame ``m`` both trains the model
+    (bgc/hist derive from it) and is the scoring join's left side —
+    two consumers of one tokenize+window subtree. Pass ``handles_out``
+    (a dict) to persist ``m`` across them and receive the handle for
+    :func:`opengauss_tools_datachecker_performance_spark.operators.dedup.release`
+    after the result materializes; without it the subtree recomputes
+    (pure-lazy, nothing cached behind the caller's back)."""
+    m = (
+        bigram_rows(df, id_col, text_col)
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("_m"))
+    )
+    if handles_out is not None:
+        m = m.persist()
+        handles_out.setdefault("persisted", []).append(m)
+    bgc = m.groupBy("bigram").agg(F.sum("_m").alias("_c2"))
     hist = bgc.groupBy(
         F.substring_index("bigram", " ", 1).alias("_w1")
     ).agg(F.sum("_c2").alias("_c1"))
@@ -144,13 +162,17 @@ def bigram_surprisal_scores(
     )
     bits = _bitlen(F.col("_c1") + F.col("_v")) - _bitlen(F.col("_c2") + 1)
     scored = (
-        bg.join(bgc, "bigram")
+        m.join(bgc, "bigram")
         .withColumn("_w1", F.substring_index("bigram", " ", 1))
         .join(hist, "_w1")
         .crossJoin(F.broadcast(vocab))
-        .select("doc_id", bits.cast("long").alias("_bits"))
+        .select(
+            "doc_id",
+            F.col("_m").alias("_n"),
+            (F.col("_m") * bits.cast("long")).alias("_bits"),
+        )
     )
-    n = F.count(F.lit(1))
+    n = F.sum("_n")
     total = F.sum("_bits")
     return scored.groupBy("doc_id").agg(
         n.cast("long").alias("n_bigrams"),

@@ -147,3 +147,30 @@ def test_locate_spans_matches_body_locator_on_random_corpora(spark, pair):
         for r in first_divergent_span(sdf, tdf, upd).collect()
     }
     assert got == want, (src, sink)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(
+        st.integers(-(2**40), 2**40), min_size=1, max_size=200, unique=True
+    ),
+    n_buckets=st.integers(1, 16),
+)
+def test_global_rank_property(spark, keys, n_buckets):
+    """global_rank == enumerate(sorted(keys)) for ARBITRARY unique
+    integer keys (negatives, clusters, huge spreads) at any bucket
+    count — the deterministic-bucket zipWithIndex must be exact."""
+    from opengauss_tools_datachecker_performance_spark.operators.skew import (
+        global_rank,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r["k"]: r["rn"]
+        for r in global_rank(df, ["k"], n_buckets=n_buckets).collect()
+    }
+    assert got == {k: i + 1 for i, k in enumerate(sorted(keys))}
