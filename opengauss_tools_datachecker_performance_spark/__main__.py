@@ -136,6 +136,25 @@ def build_parser() -> argparse.ArgumentParser:
         help="distinct shared shingles needed to flag a doc (default 2)",
     )
     p.add_argument(
+        "--corpus-stats-table", default=None,
+        help="corpus of (doc_id, text) to profile "
+             "(operators/corpus_stats.py): top-K vocabulary lands in "
+             "vocab_stats.parquet and totals in summary.json's "
+             "corpus_stats section",
+    )
+    p.add_argument(
+        "--corpus-stats-top-k", type=int, default=100,
+        help="vocabulary terms to keep (default 100)",
+    )
+    p.add_argument(
+        "--lm-surprisal", action="store_true",
+        help="also score every doc of --corpus-stats-table under the "
+             "corpus's own add-one-smoothed bigram model (integer-bits "
+             "surprisal, operators/corpus_stats.py) → "
+             "lm_surprisal.parquet + score stats in the corpus_stats "
+             "section",
+    )
+    p.add_argument(
         "--substring-dedup-table", default=None,
         help="corpus of (doc_id, text) to scan for cross-document "
              "duplicate passages (operators/substring_dedup.py): "
@@ -265,6 +284,81 @@ def _run_decontamination(spark: SparkSession, args) -> dict | None:
         "min_shared": args.decontaminate_min_shared,
         "n_contaminated": n_flagged,
     }
+
+
+def _run_corpus_stats(spark: SparkSession, args) -> dict | None:
+    """Run the --corpus-stats-table profile (if requested): top-K
+    vocabulary → vocab_stats.parquet; with --lm-surprisal, per-doc
+    bigram-model scores → lm_surprisal.parquet. Returns the
+    summary.json section. Same placement contract as
+    _run_decontamination: outside the wave loop, every summary-writing
+    exit path honors it."""
+    if not args.corpus_stats_table:
+        return None
+    from opengauss_tools_datachecker_performance_spark.operators.corpus_stats import (
+        bigram_surprisal_scores,
+        vocab_stats,
+        with_span_text,
+    )
+    from opengauss_tools_datachecker_performance_spark.operators.dedup import release
+    from opengauss_tools_datachecker_performance_spark.sources.table_io import (
+        load_table,
+    )
+
+    docs = load_table(spark, args.corpus_stats_table)
+    if "text" not in docs.columns and "spans" in docs.columns:
+        # interleaved-doc table: span texts in offset order ARE the text
+        docs = with_span_text(docs)
+    vocab_path = os.path.join(args.report_dir, "vocab_stats.parquet")
+    vocab_stats(docs, top_k=args.corpus_stats_top_k).write.mode(
+        "overwrite"
+    ).parquet(vocab_path)
+    # totals off the written frame — no recompute of the vocab pass
+    vstats = (
+        spark.read.parquet(vocab_path)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.coalesce(F.sum("tf"), F.lit(0)).alias("topk_tf"),
+        )
+        .collect()[0]
+    )
+    section = {
+        "table": args.corpus_stats_table,
+        "top_k": args.corpus_stats_top_k,
+        "n_terms": vstats["n_terms"],
+        "topk_token_occurrences": int(vstats["topk_tf"]),
+    }
+    print(
+        f"[corpus-stats] top-{args.corpus_stats_top_k} vocabulary → {vocab_path}"
+    )
+    if args.lm_surprisal:
+        handles: dict = {}
+        lm_path = os.path.join(args.report_dir, "lm_surprisal.parquet")
+        bigram_surprisal_scores(docs, handles_out=handles).write.mode(
+            "overwrite"
+        ).parquet(lm_path)
+        release(handles)
+        sstats = (
+            spark.read.parquet(lm_path)
+            .agg(
+                F.count(F.lit(1)).alias("n_scored"),
+                F.coalesce(F.avg(F.col("avg_bits").cast("double")), F.lit(0.0))
+                .alias("mean_bits"),
+                F.coalesce(F.max(F.col("avg_bits").cast("double")), F.lit(0.0))
+                .alias("max_bits"),
+            )
+            .collect()[0]
+        )
+        section["lm_surprisal"] = {
+            "n_scored": sstats["n_scored"],
+            "mean_avg_bits": round(float(sstats["mean_bits"]), 3),
+            "max_avg_bits": round(float(sstats["max_bits"]), 3),
+        }
+        print(
+            f"[corpus-stats] {sstats['n_scored']} docs LM-scored "
+            f"(mean {section['lm_surprisal']['mean_avg_bits']} bits) → {lm_path}"
+        )
+    return section
 
 
 def _run_substring_dedup(spark: SparkSession, args) -> dict | None:
@@ -619,6 +713,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             # must surface, so it stays outside the refresh try)
             decon_section = _run_decontamination(spark, args)
             subdup_section = _run_substring_dedup(spark, args)
+            cstats_section = _run_corpus_stats(spark, args)
             try:
                 # refresh the summary over frames a previous (killed)
                 # run already wrote into THIS report dir, if any —
@@ -634,6 +729,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                     baseline_dir=args.baseline_report_dir,
                     decontamination=decon_section,
                     substring_dedup=subdup_section,
+                    corpus_stats=cstats_section,
                 )
             except Exception:
                 pass
@@ -905,6 +1001,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             )
     decon_section = _run_decontamination(spark, args)
     subdup_section = _run_substring_dedup(spark, args)
+    cstats_section = _run_corpus_stats(spark, args)
     summary = summarize_dir(
         spark,
         args.report_dir,
@@ -915,6 +1012,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         decontamination=decon_section,
         substring_dedup=subdup_section,
         near_dup_clusters=clusters_section,
+        corpus_stats=cstats_section,
     )
     ok = summary["result"] == "success"
     print(f"[validate] run={run_id} result={summary['result']}")

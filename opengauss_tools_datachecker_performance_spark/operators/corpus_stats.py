@@ -56,6 +56,28 @@ def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def with_span_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Interleaved-doc adapter: derive a ``text_col`` by concatenating
+    the doc's span texts in offset order (media/NULL-text spans
+    contribute nothing). Same span ordering as the digest layer
+    (digest._sorted_spans: offset-first struct sort, codegen'd — no
+    lambda comparator); map-only, no shuffle. Lets every (doc_id,
+    text) corpus operator run directly on the engine's native
+    ``spans`` tables."""
+    ordered = F.sort_array(
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["offset"].alias("offset"), s["text"].alias("text")
+            ),
+        )
+    )
+    texts = F.filter(
+        F.transform(ordered, lambda s: s["text"]), lambda t: t.isNotNull()
+    )
+    return df.withColumn(text_col, F.concat_ws(" ", texts))
+
+
 def vocab_stats(
     df: DataFrame,
     id_col: str = "doc_id",

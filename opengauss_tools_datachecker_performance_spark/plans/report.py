@@ -70,6 +70,7 @@ def summarize_dir(
     decontamination: dict | None = None,
     substring_dedup: dict | None = None,
     near_dup_clusters: dict | None = None,
+    corpus_stats: dict | None = None,
 ) -> dict:
     """Build summary.json + success/failed logs from the written
     frames (covers every chunk written so far, including those from a
@@ -138,6 +139,8 @@ def summarize_dir(
         summary["substring_dedup"] = dict(substring_dedup)
     if near_dup_clusters:
         summary["near_dup_clusters"] = dict(near_dup_clusters)
+    if corpus_stats:
+        summary["corpus_stats"] = dict(corpus_stats)
     if baseline_dir is not None:
         prev, _ = _read_frames(spark, baseline_dir)
         reg = run_regression(violations, prev).persist()

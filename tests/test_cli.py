@@ -341,3 +341,32 @@ def test_cli_progress_log(spark, tmp_path):
     assert lines[-1]["rows_done"] == src_rows
     assert all(l["avg_rows_per_sec"] > 0 and l["tick_rows_per_sec"] > 0 for l in lines)
     assert lines[0]["rows_done"] < lines[1]["rows_done"]
+
+
+def test_cli_corpus_stats_section(spark, tmp_path):
+    corpus = _setup(spark, tmp_path)
+    report = str(tmp_path / "report_cs")
+    rc = main(
+        [
+            "--source", f"{corpus}/docs_source.parquet",
+            "--report-dir", report,
+            "--corpus-stats-table", f"{corpus}/docs_source.parquet",
+            "--corpus-stats-top-k", "25",
+            "--lm-surprisal",
+        ],
+        spark=spark,
+    )
+    assert rc in (0, 1)
+    summary = json.load(open(os.path.join(report, "summary.json")))
+    cs = summary["corpus_stats"]
+    assert cs["top_k"] == 25 and cs["n_terms"] == 25
+    assert cs["topk_token_occurrences"] > 0
+    lm = cs["lm_surprisal"]
+    assert lm["n_scored"] > 0 and lm["mean_avg_bits"] > 0
+    # frames written next to the report
+    import pyspark.sql.functions as F  # noqa: F401
+
+    vocab = spark.read.parquet(os.path.join(report, "vocab_stats.parquet"))
+    assert vocab.count() == 25
+    scores = spark.read.parquet(os.path.join(report, "lm_surprisal.parquet"))
+    assert scores.filter("surprisal_bits < 0").count() == 0
