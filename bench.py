@@ -200,6 +200,7 @@ def main() -> None:
         "token_count",
         "vocab_stats",
         "lm_surprisal",
+        "quality_filter",
         "text_quality",
         "lang_id_profile",
         "drift_quantile_profile",

@@ -106,3 +106,130 @@ def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return bigram_surprisal_scores(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# composite quality filter (operators/quality.py)
+# ---------------------------------------------------------------------------
+
+from opengauss_tools_datachecker_performance_spark.functions.text import (  # noqa: E402
+    EN_STOPWORDS,
+)
+
+_SQL_SW_LIST = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+#: planted verdict mix: %29 docs truncated (too_short), %7 docs get
+#: boilerplate (repetition/boilerplate), %13 docs get an email (pii);
+#: non_english falls out of each doc's natural stopword density
+_SQL_QF_DOCS = """
+      SELECT doc_id,
+             CASE WHEN doc_id % 29 = 0 THEN 'tiny doc'
+                  ELSE text
+                    || CASE WHEN doc_id % 7 = 0
+                            THEN ' buy now buy now buy now' ELSE '' END
+                    || CASE WHEN doc_id % 13 = 0
+                            THEN ' contact user' || doc_id || '@example.com now'
+                            ELSE '' END
+             END AS text
+      FROM documents
+"""
+
+
+@query(
+    "quality_filter",
+    f"""
+    WITH docs2 AS ({_SQL_QF_DOCS}),
+    norm AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, {_TOKS} AS toks
+      FROM docs2
+    ),
+    base AS (
+      SELECT doc_id, text, toks, len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_distinct,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i+1])
+                  ELSE [] END AS bigrams
+      FROM norm
+    ),
+    bc AS (
+      SELECT doc_id, bg, COUNT(*) AS n
+      FROM (SELECT doc_id, unnest(bigrams) AS bg FROM base)
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT doc_id, n,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY n DESC, bg ASC) AS rn
+      FROM bc
+    ),
+    sig AS (
+      SELECT b.doc_id, b.n_tokens,
+             CASE WHEN b.n_tokens > 0
+                  THEN 1.0::DOUBLE - b.n_distinct::DOUBLE / b.n_tokens
+                  ELSE 0.0::DOUBLE END AS dup_frac,
+             COALESCE(CASE WHEN b.n_tokens > 0
+                           THEN 2.0::DOUBLE * t.n / b.n_tokens END,
+                      0.0::DOUBLE) AS top_frac,
+             CASE WHEN b.n_tokens > 0
+                  THEN len(list_filter(b.toks,
+                           x -> list_contains({_SQL_SW_LIST}, x)))::DOUBLE
+                       / b.n_tokens
+                  ELSE 0.0::DOUBLE END AS sw,
+             (len(regexp_extract_all(b.text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) > 0
+              OR len(regexp_extract_all(b.text,
+                 '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) > 0
+              OR len(regexp_extract_all(b.text,
+                 '\\+\\d{{1,3}}-\\d{{3}}-\\d{{3,}}')) > 0) AS pii
+      FROM base b
+      LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+    ),
+    r AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             list_sort(list_filter([
+               CASE WHEN n_tokens < 5 THEN 'too_short' END,
+               CASE WHEN n_tokens > 50000 THEN 'too_long' END,
+               CASE WHEN dup_frac > 0.30 THEN 'repetition' END,
+               CASE WHEN top_frac > 0.20 THEN 'boilerplate' END,
+               CASE WHEN sw < 0.05 THEN 'non_english' END,
+               CASE WHEN pii THEN 'pii' END
+             ], x -> x IS NOT NULL)) AS reasons
+      FROM sig
+    )
+    SELECT doc_id, n_tokens, len(reasons) = 0 AS keep, reasons FROM r
+    """,
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-rule verdict (operators.quality.quality_filter)
+    over documents with planted short/boilerplate/PII docs."""
+    from pyspark.sql import functions as F
+
+    from opengauss_tools_datachecker_performance_spark.operators.quality import (
+        quality_filter,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 29 == 0, F.lit("tiny doc"))
+        .otherwise(
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.lit(" buy now buy now buy now"),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 13 == 0,
+                    F.concat(
+                        F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com now"),
+                    ),
+                ).otherwise(F.lit("")),
+            )
+        )
+        .alias("text"),
+    )
+    return quality_filter(planted)
