@@ -108,6 +108,46 @@ def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_surprisal_scores(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "tfidf_top_terms",
+    f"""
+    WITH {_SQL_NORM_DOCS},
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM norm),
+    dt AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY 1, 2
+    ),
+    dfreq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY 1
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM norm),
+    scored AS (
+      SELECT dt.doc_id, dt.token, dt.tf,
+             CAST(length(bin(nd.n)) - length(bin(f.df)) AS BIGINT) AS idf_bits,
+             dt.tf * (length(bin(nd.n)) - length(bin(f.df))) AS score
+      FROM dt JOIN dfreq f USING (token) CROSS JOIN nd
+    ),
+    r AS (
+      SELECT doc_id, token, tf, idf_bits,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, token ASC)
+                  AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT doc_id, token, tf, idf_bits, rank FROM r WHERE rank <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc characteristic terms
+    (operators.corpus_stats.tfidf_top_terms): tf · integer-bits idf,
+    top-3, ties to token ascending."""
+    from opengauss_tools_datachecker_performance_spark.operators.corpus_stats import (
+        tfidf_top_terms,
+    )
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # composite quality filter (operators/quality.py)
 # ---------------------------------------------------------------------------

@@ -113,6 +113,55 @@ def vocab_stats(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 3,
+) -> DataFrame:
+    """→ (doc_id, token, tf, idf_bits, rank): each doc's ``top_n``
+    most characteristic terms by tf·idf, with idf in exact integer
+    bits — ``idf_bits = bitlen(N_docs) − bitlen(df_token)`` (brackets
+    ``log2(N/df)`` within 1 bit; same cross-engine-determinism
+    rationale as the surprisal operator). Ranking ties break on token
+    ascending, so results are deterministic and oracle-reproducible.
+
+    Plan: the (doc, token, tf) partial agg feeds both the per-token
+    document frequency (second partial agg) and the scoring join
+    (1:N — one df row per token, hot tokens fan out but never blow
+    up); the corpus-size scalar rides a broadcast cross join; the
+    per-doc top-n window groups are bounded by a doc's distinct
+    tokens."""
+    base = _doc_tokens(df, id_col, text_col)
+    dt = (
+        base.select("doc_id", F.explode("_toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = dt.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("_df"))
+    n_docs = base.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    idf_bits = _bitlen(F.col("_n")) - _bitlen(F.col("_df"))
+    scored = (
+        dt.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            idf_bits.cast("long").alias("idf_bits"),
+            (F.col("tf") * idf_bits).alias("_score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("_score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_n)
+        .select("doc_id", "token", "tf", "idf_bits", "rank")
+    )
+
+
 def bigram_rows(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

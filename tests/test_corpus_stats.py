@@ -92,3 +92,42 @@ def test_bigram_surprisal_exact(spark):
     # doc 4 is a prefix of doc 1's opening ("the cat sat") whose
     # bigrams all recur; doc 3's "and"-chain bigrams are singletons
     assert got["4"][2] <= got["3"][2]
+
+
+def test_tfidf_top_terms_exact(spark):
+    from opengauss_tools_datachecker_performance_spark.operators.corpus_stats import (
+        tfidf_top_terms,
+    )
+
+    tf_by_doc: dict[str, Counter] = {}
+    df_count: Counter = Counter()
+    for doc_id, text in DOCS:
+        toks = _tokens(text)
+        if toks:
+            tf_by_doc.setdefault(doc_id, Counter()).update(toks)
+        df_count.update(set(toks))
+    n = len(DOCS)
+    expect = {}
+    for doc_id, tf in tf_by_doc.items():
+        scored = sorted(
+            (
+                (
+                    -(tf[t] * (n.bit_length() - df_count[t].bit_length())),
+                    t,
+                )
+                for t in tf
+            ),
+        )[:3]
+        for i, (negscore, t) in enumerate(scored):
+            expect[(doc_id, t)] = (
+                tf[t],
+                n.bit_length() - df_count[t].bit_length(),
+                i + 1,
+            )
+    got = {
+        (r["doc_id"], r["token"]): (r["tf"], r["idf_bits"], r["rank"])
+        for r in tfidf_top_terms(
+            spark.createDataFrame(DOCS, "doc_id string, text string")
+        ).collect()
+    }
+    assert got == expect

@@ -32,15 +32,16 @@ ALLOW_ARROW = {
 #: embedding_near_dup_ivf shares ann_ivf's centroid broadcast (its
 #: candidate pair join itself is a cell equi-join — see the targeted
 #: assertion in test_operators_wave3)
-#: lm_surprisal cross-joins the ONE-row vocabulary-size aggregate into
-#: the scored frame (same shape as drift_quantile_profile's global
-#: quantiles)
+#: lm_surprisal / tfidf_top_terms cross-join a ONE-row scalar
+#: aggregate (vocabulary size / corpus size) into the scored frame
+#: (same shape as drift_quantile_profile's global quantiles)
 ALLOW_BNLJ = {
     "cosine_topk",
     "ann_ivf",
     "drift_quantile_profile",
     "embedding_near_dup_ivf",
     "lm_surprisal",
+    "tfidf_top_terms",
 }
 
 
