@@ -148,6 +148,53 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "semantic_decontaminate",
+    """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pert AS (
+      SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x * 1.001) AS v
+      FROM base WHERE vec_id % 41 = 0
+    ),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+    bench AS (SELECT vec_id AS bench_id, v AS bv FROM base WHERE vec_id % 41 = 0),
+    hits AS (
+      SELECT c.vec_id, MIN(b.bench_id) AS matched_benchmark_id
+      FROM corpus c JOIN bench b
+        ON list_cosine_similarity(c.v, b.bv) >= 0.99
+      GROUP BY 1
+    )
+    SELECT c.vec_id,
+           h.matched_benchmark_id IS NOT NULL AS contaminated,
+           h.matched_benchmark_id
+    FROM corpus c LEFT JOIN hits h USING (vec_id)
+    """,
+)
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval-leak screen
+    (operators.decontamination.semantic_decontaminate): benchmark =
+    the %41 vectors; planted 1.001-scaled copies (+100000) must flag
+    back to their source (scaling preserves cosine), as must the
+    benchmark vectors themselves (cos(self)=1). The oracle is the
+    brute-force corpus × benchmark screen — candidate recall of the
+    IVF route must reproduce it exactly at this threshold."""
+    from pyspark.sql import functions as F
+
+    from opengauss_tools_datachecker_performance_spark.operators.decontamination import (
+        semantic_decontaminate,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    bench = emb.filter(F.col("vec_id") % 41 == 0)
+    pert = bench.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    return semantic_decontaminate(emb.unionByName(pert), bench, threshold=0.99)
+
+
 # ---------------------------------------------------------------------------
 # composite quality filter (operators/quality.py)
 # ---------------------------------------------------------------------------

@@ -87,3 +87,68 @@ def decontaminate(
         frac.alias("shared_frac"),
         contaminated.alias("contaminated"),
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    quantize_scale: float = 1_000_000.0,
+) -> DataFrame:
+    """Embedding-space decontamination: → (vec_id, contaminated,
+    matched_benchmark_id) — flag corpus vectors within cosine ≥
+    ``threshold`` of ANY benchmark vector (paraphrased eval leakage
+    that n-gram overlap misses; the modern complement of
+    :func:`decontaminate`).
+
+    Same IVF candidate discipline as similarity.ivf_ann_topk — and the
+    same determinism contract, so a SQL oracle replays it: corpus
+    vectors assign to 1 cell and benchmark vectors probe ``nprobe``
+    cells by exact integer-quantized dot products; only cell-sharing
+    pairs score real cosine. ``matched_benchmark_id`` is the MINIMUM
+    hitting benchmark id (deterministic without exposing float sims).
+    Candidate recall follows IVF geometry — near-identical vectors
+    share a cell by construction; a looser threshold wants more
+    ``nprobe`` (the parameters trade recall for candidate volume,
+    stated not hidden).
+
+    Scale shape: centroids broadcast; ONE narrow assignment pass per
+    side; the benchmark side (eval-suite sized) broadcasts into the
+    cell equi-join; per-doc verdicts come from a partial-aggregated
+    groupBy — the corpus never self-joins and never re-scans."""
+    from opengauss_tools_datachecker_performance_spark.operators.similarity import (
+        _qz,
+        cosine_sim,
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    cent = ivf_centroids(corpus, id_col, vec_col, n_cells, quantize_scale)
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("vi", _qz(F.col("cv"), quantize_scale))
+    b = benchmark.select(
+        F.col(id_col).cast("long").alias("bench_id"),
+        F.col(vec_col).cast("array<double>").alias("bv"),
+    ).withColumn("vi", _qz(F.col("bv"), quantize_scale))
+    hits = (
+        ivf_assign(c, cent, "vec_id", 1)
+        .join(F.broadcast(ivf_assign(b, cent, "bench_id", nprobe)), "cell")
+        .filter(cosine_sim(F.col("cv"), F.col("bv")) >= threshold)
+        .groupBy("vec_id")
+        .agg(F.min("bench_id").alias("matched_benchmark_id"))
+    )
+    return (
+        c.select("vec_id")
+        .join(hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("matched_benchmark_id").isNotNull().alias("contaminated"),
+            "matched_benchmark_id",
+        )
+    )

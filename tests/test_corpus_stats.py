@@ -131,3 +131,35 @@ def test_tfidf_top_terms_exact(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_semantic_decontaminate_planted(spark):
+    """Planted scaled copies flag back to their benchmark source; the
+    benchmark vectors flag themselves; others stay clean."""
+    import pyspark.sql.functions as F
+
+    from opengauss_tools_datachecker_performance_spark.operators.decontamination import (
+        semantic_decontaminate,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    bench = emb.filter(F.col("vec_id") % 41 == 0)
+    pert = bench.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    out = {
+        r["vec_id"]: (r["contaminated"], r["matched_benchmark_id"])
+        for r in semantic_decontaminate(
+            emb.unionByName(pert), bench, threshold=0.99
+        ).collect()
+    }
+    bench_ids = {r["vec_id"] for r in bench.collect()}
+    assert bench_ids, "benchmark subset must be non-empty at sf0.001"
+    for b in bench_ids:
+        assert out[b] == (True, b)  # self-hit
+        assert out[b + 100000] == (True, b)  # planted copy hits its source
+    clean = [v for v, (c, _) in out.items() if not c]
+    assert clean and all(v % 41 != 0 for v in clean if v < 100000)

@@ -42,6 +42,8 @@ ALLOW_BNLJ = {
     "embedding_near_dup_ivf",
     "lm_surprisal",
     "tfidf_top_terms",
+    # shares ann_ivf's broadcast-centroid assignment pass
+    "semantic_decontaminate",
 }
 
 
