@@ -200,7 +200,9 @@ def main() -> None:
         "token_count",
         "vocab_stats",
         "lm_surprisal",
+        "tfidf_top_terms",
         "quality_filter",
+        "semantic_decontaminate",
         "text_quality",
         "lang_id_profile",
         "drift_quantile_profile",

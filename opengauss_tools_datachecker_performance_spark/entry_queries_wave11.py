@@ -13,6 +13,7 @@ self-trained LM quality scoring (operators/corpus_stats.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from opengauss_tools_datachecker_performance_spark.entry_queries import (
     _SQL_NORM,
@@ -222,10 +223,10 @@ _SQL_QF_DOCS = """
 """
 
 
-@query(
-    "quality_filter",
-    f"""
-    WITH docs2 AS ({_SQL_QF_DOCS}),
+#: the shared WITH-body computing per-doc rule verdicts (CTE ``r``) —
+#: quality_filter and quality_by_source replay the identical rules
+_SQL_QF_CORE = f"""
+    docs2 AS ({_SQL_QF_DOCS}),
     norm AS (
       SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, {_TOKS} AS toks
       FROM docs2
@@ -284,21 +285,14 @@ _SQL_QF_DOCS = """
              ], x -> x IS NOT NULL)) AS reasons
       FROM sig
     )
-    SELECT doc_id, n_tokens, len(reasons) = 0 AS keep, reasons FROM r
-    """,
-)
-def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite Gopher-rule verdict (operators.quality.quality_filter)
-    over documents with planted short/boilerplate/PII docs."""
-    from pyspark.sql import functions as F
+"""
 
-    from opengauss_tools_datachecker_performance_spark.operators.quality import (
-        quality_filter,
-    )
 
+def _planted_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    planted = d.select(
+    return d.select(
         "doc_id",
+        "source",
         F.when(F.col("doc_id") % 29 == 0, F.lit("tiny doc"))
         .otherwise(
             F.concat(
@@ -319,4 +313,60 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("text"),
     )
-    return quality_filter(planted)
+
+
+@query(
+    "quality_filter",
+    f"""
+    WITH {_SQL_QF_CORE}
+    SELECT doc_id, n_tokens, len(reasons) = 0 AS keep, reasons FROM r
+    """,
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-rule verdict (operators.quality.quality_filter)
+    over documents with planted short/boilerplate/PII docs."""
+    from opengauss_tools_datachecker_performance_spark.operators.quality import (
+        quality_filter,
+    )
+
+    return quality_filter(_planted_quality_docs(spark, sf_dir).drop("source"))
+
+
+@query(
+    "quality_by_source",
+    f"""
+    WITH {_SQL_QF_CORE},
+    sel AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(reasons) = 0
+                         THEN ['kept'] ELSE reasons END) AS reason
+      FROM r
+    )
+    SELECT s.source, sel.reason, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM sel
+    JOIN (SELECT CAST(doc_id AS VARCHAR) AS doc_id, source FROM documents) s
+      USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filter's audit rollup: drops per (source, rule) — what a
+    100 TB run actually reads to see WHERE its corpus shrank (keeps
+    count under reason='kept'). One explode + partial-agg groupBy over
+    the verdict frame; the per-doc source map joins on doc_id."""
+    from opengauss_tools_datachecker_performance_spark.operators.quality import (
+        quality_filter,
+    )
+
+    d = _planted_quality_docs(spark, sf_dir)
+    qf = quality_filter(d.drop("source"))
+    src = d.select(F.col("doc_id").cast("string").alias("doc_id"), "source")
+    rs = F.when(F.size("reasons") == 0, F.array(F.lit("kept"))).otherwise(
+        F.col("reasons")
+    )
+    return (
+        qf.join(src, "doc_id")
+        .select("source", F.explode(rs).alias("reason"))
+        .groupBy("source", "reason")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
