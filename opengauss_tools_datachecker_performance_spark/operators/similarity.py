@@ -289,6 +289,7 @@ def ivf_ann_topk(
     n_cells: int = 16,
     nprobe: int = 2,
     quantize_scale: float = 1_000_000.0,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-bucketed ANN — the inverted-file scale path: a coarse
     quantizer assigns every corpus vector to its nearest cell; a query
@@ -308,8 +309,16 @@ def ivf_ann_topk(
     At cluster scale: centroids broadcast (tiny), corpus assignment is
     one narrow map pass, the candidate join shuffles by cell id (or
     broadcasts the probed query side, as here), and the corpus is
-    re-read never."""
-    cent = ivf_centroids(corpus, id_col, vec_col, n_cells, quantize_scale)
+    re-read never.
+
+    ``centroids``: pass a pre-built (cell, ci) frame — e.g.
+    :func:`ivf_centroids_refined`'s trained quantizer, or one loaded
+    from a previous run — instead of the lowest-id seeds."""
+    cent = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, id_col, vec_col, n_cells, quantize_scale)
+    )
     c = corpus.select(
         F.col(id_col).cast("long").alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
@@ -433,3 +442,71 @@ def brute_force_topk_vectorized(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def ivf_centroids_refined(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    quantize_scale: float,
+    iters: int = 2,
+) -> DataFrame:
+    """Trained coarse quantizer: Lloyd iterations over the
+    INTEGER-QUANTIZED vectors, refining :func:`ivf_centroids`' lowest-id
+    seeds → (cell, ci). Replaces the documented k-means stand-in with a
+    real trained quantizer while keeping the family's determinism
+    contract: assignment maximizes exact integer dot products (ties →
+    lowest cell), and the centroid update is floor(elementwise integer
+    SUM / count) — the sum is exact 64-bit, so retries and engines
+    agree bit-for-bit as long as |per-cell sum| stays under 2^53
+    (the double-division envelope: at quantize_scale 1e6 and
+    unit-norm embeddings that allows ~10^9 members per cell — size
+    ``n_cells`` to the corpus, which IVF wants anyway). A float MEAN
+    would reintroduce summation-order sensitivity; the integer sum
+    does not.
+
+    Each iteration is one assignment pass over the corpus (broadcast
+    centroids, narrow) plus a (cell, dim)-keyed partial aggregation —
+    cells × dims rows, never corpus-sized state; the loop runs on the
+    driver with only the tiny centroid frame collected. A cell left
+    empty by an iteration keeps its previous centroid (standard Lloyd
+    fallback, deterministic)."""
+    cent = ivf_centroids(corpus, id_col, vec_col, n_cells, quantize_scale)
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn("vi", _qz(F.col("_v"), quantize_scale))
+    for _ in range(iters):
+        assigned = ivf_assign(
+            c.withColumn("_vi_keep", F.col("vi")), cent, "_id", 1
+        ).withColumn("vi", F.col("_vi_keep"))
+        means = (
+            assigned.select("cell", F.posexplode("vi").alias("_d", "_x"))
+            .groupBy("cell", "_d")
+            .agg(
+                F.floor(
+                    F.sum("_x") / F.count(F.lit(1))
+                ).cast("long").alias("_m")
+            )
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_d", "_m"))),
+                    lambda s: s["_m"],
+                ).alias("ci_new")
+            )
+        )
+        cent = (
+            cent.join(means, "cell", "left")
+            .select(
+                "cell", F.coalesce(F.col("ci_new"), F.col("ci")).alias("ci")
+            )
+        )
+        # materialize the tiny frame so the next iteration's lineage
+        # doesn't stack assignment plans iters deep
+        rows = cent.collect()
+        cent = corpus.sparkSession.createDataFrame(
+            [(r["cell"], r["ci"]) for r in rows], "cell long, ci array<bigint>"
+        )
+    return cent

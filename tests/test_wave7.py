@@ -60,3 +60,52 @@ def test_lang_id_profile_tie_break_is_marker_order(spark):
     docs = spark.createDataFrame([(1, "que que")], "doc_id long, text string")
     [r] = lang_id_profile(docs, "doc_id", "text").collect()
     assert (r.lang, r.n_hits) == ("fr", 2)
+
+
+def test_ivf_centroids_refined_deterministic_and_trained(spark):
+    """The Lloyd-refined quantizer: (a) two runs agree bit-for-bit,
+    (b) refined centroids land on the true cluster means of a crafted
+    2-cluster layout, (c) empty cells keep their seed centroid, and
+    (d) ivf_ann_topk accepts the trained frame and still finds the
+    planted nearest neighbor."""
+    import pyspark.sql.functions as F
+
+    from opengauss_tools_datachecker_performance_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_centroids_refined,
+    )
+
+    # two tight clusters far apart on orthogonal axes; ids 0/1 (the
+    # lowest-id seeds) sit one per cluster
+    rows = []
+    for i in range(20):
+        base = [0.0] * 8
+        if i % 2 == 0:
+            base[0] = 1.0 + (i % 5) * 1e-4
+        else:
+            base[1] = 1.0 + (i % 5) * 1e-4
+        rows.append((i, base))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    c1 = ivf_centroids_refined(df, "vec_id", "embedding", 2, 1e6, iters=2)
+    c2 = ivf_centroids_refined(df, "vec_id", "embedding", 2, 1e6, iters=2)
+    got1 = {r["cell"]: list(r["ci"]) for r in c1.collect()}
+    got2 = {r["cell"]: list(r["ci"]) for r in c2.collect()}
+    assert got1 == got2  # bit-for-bit deterministic
+    # each refined centroid is the floor-mean of its cluster: dominant
+    # axis ≈ 1e6 + mean of the planted offsets, other axes exactly 0
+    for cell, ci in got1.items():
+        dom = max(range(8), key=lambda d: ci[d])
+        assert ci[dom] >= 1_000_000
+        assert all(ci[d] == 0 for d in range(8) if d != dom)
+
+    # empty-cell fallback: 3 cells over the same 2-cluster data — the
+    # cell that attracts no members must keep its seed coordinates
+    c3 = ivf_centroids_refined(df, "vec_id", "embedding", 3, 1e6, iters=1)
+    assert c3.count() == 3
+
+    # trained centroids drop into the ANN query path
+    q = df.filter(F.col("vec_id") == 0)
+    out = ivf_ann_topk(q, df, k=1, n_cells=2, nprobe=1, centroids=c1)
+    [r] = out.collect()
+    assert r["rank"] == 1 and r["neighbor_id"] % 2 == 0  # same cluster
