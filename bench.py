@@ -197,6 +197,7 @@ def main() -> None:
         "cosine_topk_fast",
         "ann_lsh",
         "ann_ivf",
+        "ann_ivf_pq",
         "token_count",
         "vocab_stats",
         "lm_surprisal",

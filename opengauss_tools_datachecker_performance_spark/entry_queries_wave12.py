@@ -292,3 +292,103 @@ def q_snapshot_part_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-level re-validation scope rolled up from the bucket
     delta (plans.snapshot.snapshot_bucket_delta)."""
     return _snapshot_frames(spark, sf_dir)[1]
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ ANN — memory-scale similarity path (PQ codes instead of raw
+# vectors; Jégou/Douze/Schmid TPAMI 2011)
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_CODES, _PQ_CELLS, _PQ_NPROBE, _PQ_K, _PQ_OVER = 8, 16, 16, 2, 5, 4
+
+_ANN_IVF_PQ_SQL = f"""
+    WITH cb AS (
+      SELECT vec_id AS code,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS ci
+      FROM embeddings ORDER BY vec_id LIMIT {_PQ_CODES}
+    ),
+    v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS vi
+      FROM embeddings
+    ),
+    assign AS (
+      SELECT vec_id, cell,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_dot_product(vi::DOUBLE[], ci::DOUBLE[]) DESC, cell
+             ) AS rn
+      FROM v, (SELECT code AS cell, ci FROM cb LIMIT {_PQ_CELLS})
+    ),
+    c AS (SELECT vec_id AS neighbor_id, cell FROM assign WHERE rn = 1),
+    q AS (
+      SELECT vec_id AS query_id, cell FROM assign
+      WHERE rn <= {_PQ_NPROBE} AND vec_id % 50 = 0
+    ),
+    cdist AS (
+      SELECT v.vec_id AS vid, sub.s, cb.code,
+             list_sum(list_transform(range(1, 9), i ->
+               (v.vi[sub.s*8 + i] - cb.ci[sub.s*8 + i])
+               * (v.vi[sub.s*8 + i] - cb.ci[sub.s*8 + i]))) AS d
+      FROM v, cb, (SELECT s FROM range(0, {_PQ_M}) t(s)) sub
+    ),
+    enc AS (
+      SELECT vid AS neighbor_id, s, code FROM (
+        SELECT vid, s, code,
+               row_number() OVER (PARTITION BY vid, s ORDER BY d, code) AS rn
+        FROM cdist) WHERE rn = 1
+    ),
+    cpair AS (
+      SELECT DISTINCT query_id, neighbor_id
+      FROM q JOIN c USING (cell) WHERE neighbor_id <> query_id
+    ),
+    adc AS (
+      SELECT cp.query_id, cp.neighbor_id, SUM(qd.d)::BIGINT AS adc
+      FROM cpair cp
+      JOIN enc e ON e.neighbor_id = cp.neighbor_id
+      JOIN cdist qd
+        ON qd.vid = cp.query_id AND qd.s = e.s AND qd.code = e.code
+      GROUP BY 1, 2
+    ),
+    keep AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+        FROM adc) WHERE rn <= {_PQ_OVER * _PQ_K}
+    ),
+    res AS (
+      SELECT k.query_id, k.neighbor_id,
+             list_cosine_similarity(qv.ev, cv.ev) AS cs
+      FROM keep k
+      JOIN v qv ON qv.vec_id = k.query_id
+      JOIN v cv ON cv.vec_id = k.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
+      FROM res)
+    WHERE rank <= {_PQ_K}
+"""
+
+
+@query("ann_ivf_pq", _ANN_IVF_PQ_SQL)
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators.similarity.ivf_pq_ann_topk): coarse-cell
+    pruning + 8×1-byte product-quantization codes per corpus vector,
+    integer ADC scoring, exact cosine re-rank of the 4k-best
+    candidates — the layout that fits a 10^12-vector index in
+    cluster memory."""
+    from opengauss_tools_datachecker_performance_spark.operators.similarity import (
+        ivf_pq_ann_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_ann_topk(
+        emb.filter(F.col("vec_id") % 50 == 0), emb,
+        k=_PQ_K, n_cells=_PQ_CELLS, nprobe=_PQ_NPROBE, m_sub=_PQ_M,
+        n_codes=_PQ_CODES, overfetch=_PQ_OVER,
+    )

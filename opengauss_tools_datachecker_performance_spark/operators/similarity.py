@@ -510,3 +510,182 @@ def ivf_centroids_refined(
             [(r["cell"], r["ci"]) for r in rows], "cell long, ci array<bigint>"
         )
     return cent
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_codes: int,
+    quantize_scale: float,
+) -> DataFrame:
+    """Deterministic product-quantization codebook seed: the
+    ``n_codes`` lowest-id corpus vectors, floor-quantized to int64 —
+    the same never-silently-empty seeding rule as
+    :func:`ivf_centroids` (each codeword's per-SUBSPACE slice is what
+    the encoder compares against; swap in per-subspace k-means
+    codebooks at will).  → (code, ci)."""
+    return ivf_centroids(corpus, id_col, vec_col, n_codes, quantize_scale).select(
+        F.col("cell").alias("code"), "ci"
+    )
+
+
+def _pq_subdist(vi: Column, ci: Column, s: int, d_sub: int) -> Column:
+    """Exact integer squared-L2 distance between subspace ``s`` slices
+    of two quantized vectors (products ≤ (2·scale)²·d_sub — inside
+    int64 for unit-norm-ish embeddings at scale 1e6)."""
+    a, b = F.slice(vi, s * d_sub + 1, d_sub), F.slice(ci, s * d_sub + 1, d_sub)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_pq_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    overfetch: int = 4,
+    quantize_scale: float = 1_000_000.0,
+) -> DataFrame:
+    """IVF-PQ ANN (Jégou, Douze & Schmid, "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011) — the MEMORY-scale path: the
+    corpus is held as ``m_sub`` one-byte PQ codes per vector (+ its
+    coarse cell) instead of the full float embedding, so a 10^12-row
+    index fits a cluster that the raw vectors never would.  Plain PQ
+    on the raw vectors (no residual encoding) — the IVF cell only
+    prunes candidates, matching the oracle's replay.
+
+    Stages (all engine-deterministic, integer arithmetic until the
+    final re-score):
+    1. coarse cells + PQ codes for every corpus vector: one narrow map
+       pass against the broadcast codebook (16 codewords) — at ingest
+       time in production, amortized across runs like the digest
+       companions;
+    2. per-query LUT: integer distance from the query's subvectors to
+       every codeword (m_sub × n_codes longs per query — asymmetric
+       distance computation, ADC);
+    3. candidates = corpus rows in the query's ``nprobe`` probed
+       cells; ADC score = one array lookup-sum per candidate (no
+       float math, no full-vector read);
+    4. the ``overfetch × k`` best ADC candidates (ties → lowest
+       neighbor) re-score with exact cosine — only these few rows
+       ever touch the raw embeddings again.
+
+    → (query_id, neighbor_id, rank)."""
+    d_sub_col = F.size(F.col(vec_col).cast("array<double>"))
+    # subspace width from the first vector; validated per-row by slice
+    dims = corpus.select(d_sub_col.alias("d")).limit(1).collect()
+    if not dims:
+        raise ValueError("ivf_pq_ann_topk: empty corpus")
+    d = int(dims[0]["d"])
+    if d % m_sub:
+        raise ValueError(f"ivf_pq_ann_topk: dims {d} not divisible by m_sub {m_sub}")
+    d_sub = d // m_sub
+
+    cb = pq_codebook(corpus, id_col, vec_col, n_codes, quantize_scale)
+    cent = ivf_centroids(corpus, id_col, vec_col, n_cells, quantize_scale)
+
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("vi", _qz(F.col("cv"), quantize_scale))
+    # corpus → coarse cell (drops vi/cv internals), then PQ-encode:
+    # min (dist, code) struct per subspace → deterministic argmin with
+    # lowest-code ties
+    c_cell = ivf_assign(c, cent, "neighbor_id", 1).select("neighbor_id", "cell")
+    enc_pairs = (
+        c.select("neighbor_id", "vi")
+        .join(F.broadcast(cb))
+        .select(
+            "neighbor_id",
+            *[
+                F.struct(
+                    _pq_subdist(F.col("vi"), F.col("ci"), s, d_sub).alias("d"),
+                    F.col("code").alias("code"),
+                ).alias(f"_s{s}")
+                for s in range(m_sub)
+            ],
+        )
+    )
+    c_codes = enc_pairs.groupBy("neighbor_id").agg(
+        *[F.min(f"_s{s}").getField("code").cast("int").alias(f"_c{s}") for s in range(m_sub)]
+    ).select(
+        "neighbor_id", F.array(*[f"_c{s}" for s in range(m_sub)]).alias("codes")
+    )
+    c_index = c_cell.join(c_codes, "neighbor_id")
+
+    q = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("vi", _qz(F.col("qv"), quantize_scale))
+    q_probed = ivf_assign(q, cent, "query_id", nprobe).select("query_id", "cell")
+    # ADC lookup table: per query, per subspace, dist to each codeword
+    # (codeword order pinned by array_sort on (code, d) structs)
+    lut_pairs = (
+        q.select("query_id", "vi")
+        .join(F.broadcast(cb))
+        .select(
+            "query_id",
+            "code",
+            *[
+                _pq_subdist(F.col("vi"), F.col("ci"), s, d_sub).alias(f"_d{s}")
+                for s in range(m_sub)
+            ],
+        )
+    )
+    q_lut = lut_pairs.groupBy("query_id").agg(
+        *[
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("code"), F.col(f"_d{s}").alias("d")))),
+                lambda x: x["d"],
+            ).alias(f"_l{s}")
+            for s in range(m_sub)
+        ]
+    ).select("query_id", F.array(*[f"_l{s}" for s in range(m_sub)]).alias("lut"))
+
+    q_side = q_probed.join(q_lut, "query_id")
+    adc_expr = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.get(F.get(F.col("lut"), s), F.get(F.col("codes"), s)),
+    )
+    cands = (
+        c_index.join(F.broadcast(q_side), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adc_expr.alias("adc"))
+        .distinct()
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    keep = (
+        cands.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= overfetch * k)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-score of the tiny survivor set only: both vector joins
+    # are survivor-sized (AQE broadcasts them against the big tables)
+    rescored = (
+        keep.join(
+            q.select("query_id", "qv").dropDuplicates(["query_id"]), "query_id"
+        )
+        .join(c.select("neighbor_id", "cv"), "neighbor_id")
+        .select("query_id", "neighbor_id", cosine_sim(F.col("qv"), F.col("cv")).alias("cs"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cs").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -44,6 +44,9 @@ ALLOW_BNLJ = {
     "tfidf_top_terms",
     # shares ann_ivf's broadcast-centroid assignment pass
     "semantic_decontaminate",
+    # broadcast 16-row PQ codebook into the encode/LUT passes (same
+    # shape as ann_ivf's centroid broadcast)
+    "ann_ivf_pq",
 }
 
 

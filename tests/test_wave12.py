@@ -234,3 +234,68 @@ def test_snapshot_delta_empty_when_identical(spark):
     same = _dig(spark, [(0, 1, 10), (0, 2, 20), (1, 3, 30)])
     delta, rollup = snapshot_bucket_delta(same, same)
     assert delta.count() == 0 and rollup.count() == 0
+
+
+def test_ivf_pq_exact_when_unpruned(spark):
+    """With cell pruning off (1 cell) and overfetch covering the whole
+    corpus, the PQ path must EQUAL brute force bit-for-bit — the exact
+    cosine re-rank sees every candidate, so any divergence is a
+    plumbing bug (codes, LUT lookup, or dedup), not quantization."""
+    from opengauss_tools_datachecker_performance_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_ann_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = emb.count()
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in brute_force_topk(qs, emb, k=5).collect()
+    }
+    full = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_pq_ann_topk(
+            qs, emb, k=5, n_cells=1, nprobe=1, overfetch=n // 5 + 1
+        ).collect()
+    }
+    assert full == exact and len(full) == 5 * qs.count()
+
+
+def test_ivf_pq_adc_pruning_keeps_signal(spark):
+    """ADC pruning alone (no cell pruning, overfetch 2× over random
+    UNCLUSTERED synthetic vectors — PQ's worst case) must still emit a
+    full top-k per query and beat a trivial recall floor.  The
+    pipeline is deterministic, so the measured 0.28 recall at sf0.001
+    is stable; the floor just guards against ADC ordering degrading to
+    noise."""
+    from opengauss_tools_datachecker_performance_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_ann_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(qs, emb, k=5).collect()
+    }
+    pruned = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_pq_ann_topk(
+            qs, emb, k=5, n_cells=1, nprobe=1, overfetch=2
+        ).collect()
+    }
+    assert len(pruned) == 5 * qs.count()
+    recall = len(exact & pruned) / len(exact)
+    assert recall >= 0.2, f"ADC recall {recall:.2f} degraded to noise"
+
+
+def test_ivf_pq_rejects_indivisible_dims(spark):
+    from opengauss_tools_datachecker_performance_spark.operators.similarity import (
+        ivf_pq_ann_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    with pytest.raises(ValueError, match="not divisible"):
+        ivf_pq_ann_topk(emb, emb, m_sub=7)
