@@ -211,6 +211,29 @@ def build_parser() -> argparse.ArgumentParser:
              "companion (parquet-path companions only; reads only the stale "
              "partitions' bodies) instead of exiting 2",
     )
+    p.add_argument(
+        "--interleaved-audit", action="store_true",
+        help="run the interleaved structural checks over --source "
+             "(checks/interleaved.py): media-context (alt-text) audit "
+             "-> media_context_audit.parquet, offset invariants -> "
+             "offset_integrity.parquet, per-partition composition -> "
+             "interleaved_profile.parquet (reads span bodies; "
+             "independent of companion mode)",
+    )
+    p.add_argument(
+        "--interleaved-min-words", type=int, default=8,
+        help="tokens a media span's neighboring text spans must carry "
+             "for the context audit to pass (default 8)",
+    )
+    p.add_argument(
+        "--snapshot-delta", default=None, metavar="OLD_COMPANION",
+        help="bucket-grain incremental scope vs an older digest "
+             "snapshot (plans/snapshot.py): compares the given digest "
+             "companion (parquet path or table:name) against this "
+             "run's source digests -> snapshot_delta.parquet + "
+             "snapshot_rollup.parquet; with --source-companion both "
+             "sides are body-free",
+    )
     p.add_argument("--run-id", default=None)
     p.add_argument("--master", default=None, help="override master (default: spark-submit / env)")
     return p
@@ -359,6 +382,108 @@ def _run_corpus_stats(spark: SparkSession, args) -> dict | None:
             f"(mean {section['lm_surprisal']['mean_avg_bits']} bits) → {lm_path}"
         )
     return section
+
+
+def _run_interleaved_audit(spark: SparkSession, args) -> dict | None:
+    """Run the --interleaved-audit structural checks (if requested)
+    over the raw --source docs: media-context audit, offset
+    invariants, per-partition composition profile. Same placement
+    contract as _run_decontamination: outside the wave loop so every
+    summary-writing exit path honors it. Reads span bodies once (the
+    audits need kinds/offsets/token counts, which the digest
+    companion deliberately does not carry)."""
+    if not args.interleaved_audit:
+        return None
+    from opengauss_tools_datachecker_performance_spark.checks.interleaved import (
+        interleaved_profile,
+        media_context_audit,
+        offset_integrity,
+    )
+    from opengauss_tools_datachecker_performance_spark.sources.table_io import (
+        load_table,
+    )
+
+    docs = load_table(spark, args.source)
+    if "spans" not in docs.columns:
+        raise SystemExit(
+            "--interleaved-audit needs a docs table with a spans column "
+            f"(got columns {docs.columns})"
+        )
+    docs = docs.withColumnRenamed(args.partition_col, "part")
+    audit_path = os.path.join(args.report_dir, "media_context_audit.parquet")
+    media_context_audit(docs, min_words=args.interleaved_min_words).write.mode(
+        "overwrite"
+    ).parquet(audit_path)
+    off_path = os.path.join(args.report_dir, "offset_integrity.parquet")
+    offset_integrity(docs).write.mode("overwrite").parquet(off_path)
+    prof_path = os.path.join(args.report_dir, "interleaved_profile.parquet")
+    interleaved_profile(docs).write.mode("overwrite").parquet(prof_path)
+    # counts off the written frames — no recompute
+    audit = spark.read.parquet(audit_path)
+    a = audit.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum((~F.col("ok")).cast("long")), F.lit(0)).alias("bad"),
+    ).collect()[0]
+    n_off = spark.read.parquet(off_path).count()
+    print(
+        f"[interleaved] {a['n']} media spans audited "
+        f"({int(a['bad'])} lacking context), {n_off} offset violations "
+        f"→ {args.report_dir}"
+    )
+    return {
+        "min_words": args.interleaved_min_words,
+        "n_media_spans": a["n"],
+        "n_context_fail": int(a["bad"]),
+        "n_offset_violations": n_off,
+    }
+
+
+def _run_snapshot_delta(spark: SparkSession, args) -> dict | None:
+    """Run the --snapshot-delta incremental-scope comparison (if
+    requested): the given OLD digest companion vs this run's source
+    digests → snapshot_delta.parquet (changed buckets) +
+    snapshot_rollup.parquet (partition re-validation scope). Body-free
+    when --source-companion is given; otherwise one digest pass over
+    the raw source."""
+    if not args.snapshot_delta:
+        return None
+    from opengauss_tools_datachecker_performance_spark.plans.snapshot import (
+        snapshot_bucket_delta,
+    )
+    from opengauss_tools_datachecker_performance_spark.sources.prehashed import (
+        digest_companion_frame,
+        read_digest_companion,
+    )
+    from opengauss_tools_datachecker_performance_spark.sources.table_io import (
+        load_table,
+    )
+
+    old = read_digest_companion(spark, args.snapshot_delta)
+    if args.source_companion:
+        new = read_digest_companion(spark, args.source_companion)
+    else:
+        new = digest_companion_frame(
+            load_table(spark, args.source), partition_col=args.partition_col
+        )
+    delta, rollup = snapshot_bucket_delta(old, new)
+    delta_path = os.path.join(args.report_dir, "snapshot_delta.parquet")
+    delta.write.mode("overwrite").parquet(delta_path)
+    roll_path = os.path.join(args.report_dir, "snapshot_rollup.parquet")
+    rollup.write.mode("overwrite").parquet(roll_path)
+    rolled = spark.read.parquet(roll_path).collect()  # bounded: #partitions
+    parts = sorted(r["part"] for r in rolled)
+    n_buckets = spark.read.parquet(delta_path).count()
+    print(
+        f"[snapshot] {len(parts)} partitions touched "
+        f"({n_buckets} buckets) since {args.snapshot_delta}: {parts}"
+    )
+    return {
+        "old_snapshot": args.snapshot_delta,
+        "n_partitions_touched": len(parts),
+        "partitions_touched": parts,
+        "n_buckets_touched": n_buckets,
+        "delta_rows_new": int(sum(r["delta_rows_new"] for r in rolled)),
+    }
 
 
 def _run_substring_dedup(spark: SparkSession, args) -> dict | None:
@@ -714,6 +839,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             decon_section = _run_decontamination(spark, args)
             subdup_section = _run_substring_dedup(spark, args)
             cstats_section = _run_corpus_stats(spark, args)
+            inter_section = _run_interleaved_audit(spark, args)
+            snap_section = _run_snapshot_delta(spark, args)
             try:
                 # refresh the summary over frames a previous (killed)
                 # run already wrote into THIS report dir, if any —
@@ -730,6 +857,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                     decontamination=decon_section,
                     substring_dedup=subdup_section,
                     corpus_stats=cstats_section,
+                    interleaved_audit=inter_section,
+                    snapshot_delta=snap_section,
                 )
             except Exception:
                 pass
@@ -792,6 +921,20 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 os.path.join(args.report_dir, "near_dup_pairs.parquet"),
                 ignore_errors=True,
             )
+        if not args.interleaved_audit:
+            for frame in (
+                "media_context_audit.parquet",
+                "offset_integrity.parquet",
+                "interleaved_profile.parquet",
+            ):
+                shutil.rmtree(
+                    os.path.join(args.report_dir, frame), ignore_errors=True
+                )
+        if not args.snapshot_delta:
+            for frame in ("snapshot_delta.parquet", "snapshot_rollup.parquet"):
+                shutil.rmtree(
+                    os.path.join(args.report_dir, frame), ignore_errors=True
+                )
         if not args.near_dup_clusters:
             for frame in (
                 "near_dup_clusters.parquet",
@@ -1002,6 +1145,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     decon_section = _run_decontamination(spark, args)
     subdup_section = _run_substring_dedup(spark, args)
     cstats_section = _run_corpus_stats(spark, args)
+    inter_section = _run_interleaved_audit(spark, args)
+    snap_section = _run_snapshot_delta(spark, args)
     summary = summarize_dir(
         spark,
         args.report_dir,
@@ -1013,6 +1158,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         substring_dedup=subdup_section,
         near_dup_clusters=clusters_section,
         corpus_stats=cstats_section,
+        interleaved_audit=inter_section,
+        snapshot_delta=snap_section,
     )
     ok = summary["result"] == "success"
     print(f"[validate] run={run_id} result={summary['result']}")

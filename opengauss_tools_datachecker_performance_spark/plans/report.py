@@ -71,6 +71,8 @@ def summarize_dir(
     substring_dedup: dict | None = None,
     near_dup_clusters: dict | None = None,
     corpus_stats: dict | None = None,
+    interleaved_audit: dict | None = None,
+    snapshot_delta: dict | None = None,
 ) -> dict:
     """Build summary.json + success/failed logs from the written
     frames (covers every chunk written so far, including those from a
@@ -141,6 +143,10 @@ def summarize_dir(
         summary["near_dup_clusters"] = dict(near_dup_clusters)
     if corpus_stats:
         summary["corpus_stats"] = dict(corpus_stats)
+    if interleaved_audit:
+        summary["interleaved_audit"] = dict(interleaved_audit)
+    if snapshot_delta:
+        summary["snapshot_delta"] = dict(snapshot_delta)
     if baseline_dir is not None:
         prev, _ = _read_frames(spark, baseline_dir)
         reg = run_regression(violations, prev).persist()

@@ -370,3 +370,53 @@ def test_cli_corpus_stats_section(spark, tmp_path):
     assert vocab.count() == 25
     scores = spark.read.parquet(os.path.join(report, "lm_surprisal.parquet"))
     assert scores.filter("surprisal_bits < 0").count() == 0
+
+
+def test_cli_interleaved_audit_and_snapshot_delta(spark, tmp_path):
+    corpus = _setup(spark, tmp_path)
+    # "old snapshot" = digest companion of the source side
+    from opengauss_tools_datachecker_performance_spark.sources.prehashed import (
+        write_digest_companion,
+    )
+
+    old_comp = str(tmp_path / "old_companion.parquet")
+    write_digest_companion(
+        spark.read.parquet(f"{corpus}/docs_source.parquet"), old_comp
+    )
+    report = str(tmp_path / "report_ia")
+    rc = main(
+        [
+            "--source", f"{corpus}/docs_sink.parquet",  # mutated "now"
+            "--report-dir", report,
+            "--interleaved-audit",
+            "--interleaved-min-words", "2",
+            "--snapshot-delta", old_comp,
+        ],
+        spark=spark,
+    )
+    assert rc in (0, 1)
+    summary = json.load(open(os.path.join(report, "summary.json")))
+    ia = summary["interleaved_audit"]
+    assert ia["n_media_spans"] > 0 and ia["min_words"] == 2
+    assert ia["n_offset_violations"] == 0  # synth offsets are clean
+    sd = summary["snapshot_delta"]
+    assert sd["n_partitions_touched"] > 0 and sd["n_buckets_touched"] > 0
+    assert sd["old_snapshot"] == old_comp
+    # frames written next to the report
+    audit = spark.read.parquet(os.path.join(report, "media_context_audit.parquet"))
+    assert audit.count() == ia["n_media_spans"]
+    prof = spark.read.parquet(os.path.join(report, "interleaved_profile.parquet"))
+    assert prof.count() > 0
+    delta = spark.read.parquet(os.path.join(report, "snapshot_delta.parquet"))
+    assert delta.count() == sd["n_buckets_touched"]
+    # a later run WITHOUT the flags must clear the stale frames
+    rc2 = main(
+        ["--source", f"{corpus}/docs_sink.parquet", "--report-dir", report],
+        spark=spark,
+    )
+    assert rc2 in (0, 1)
+    assert not os.path.isdir(os.path.join(report, "media_context_audit.parquet"))
+    assert not os.path.isdir(os.path.join(report, "snapshot_delta.parquet"))
+    summary2 = json.load(open(os.path.join(report, "summary.json")))
+    assert "interleaved_audit" not in summary2
+    assert "snapshot_delta" not in summary2
