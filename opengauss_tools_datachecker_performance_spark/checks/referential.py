@@ -45,3 +45,41 @@ def referential_violations(docs: DataFrame, assets: DataFrame) -> DataFrame:
     return spans.join(F.broadcast(bad_refs), "media_ref", "left_semi").select(
         "key", F.lit("referential").alias("constraint"), "span_idx", "media_ref", *carry
     )
+
+
+def asset_usage(docs: DataFrame, assets: DataFrame) -> DataFrame:
+    """Reverse-referential audit → (media_ref, n_refs, in_catalog,
+    status) for every ref seen in docs OR cataloged asset:
+    ``dangling`` (referenced, not cataloged — the forward check's
+    hits), ``orphan`` (cataloged, never referenced — retention/cost
+    candidates), ``ok`` otherwise.
+
+    The forward check (:func:`dangling_media_refs`) answers "is every
+    reference valid"; this answers the dual the catalog owner asks:
+    "which assets does the corpus actually use".  Scale: media spans
+    are filtered INSIDE the array before the explode (text spans never
+    explode), the count shuffles (ref, partial-count) pairs, and the
+    asset join is asset-catalog-sized."""
+    media_refs = F.filter(
+        F.col("spans"),
+        lambda sp: (sp["kind"] == "media") & sp["media_ref"].isNotNull(),
+    )
+    refs = (
+        docs.select(F.explode(media_refs).alias("sp"))
+        .select(F.col("sp.media_ref").alias("media_ref"))
+        .groupBy("media_ref")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_refs"))
+    )
+    cat = assets.select("media_ref").distinct().withColumn("_cat", F.lit(True))
+    j = refs.join(cat, "media_ref", "full_outer")
+    status = (
+        F.when(F.col("_cat").isNull(), F.lit("dangling"))
+        .when(F.col("n_refs").isNull(), F.lit("orphan"))
+        .otherwise(F.lit("ok"))
+    )
+    return j.select(
+        "media_ref",
+        F.coalesce(F.col("n_refs"), F.lit(0)).cast("long").alias("n_refs"),
+        F.col("_cat").isNotNull().alias("in_catalog"),
+        status.alias("status"),
+    )

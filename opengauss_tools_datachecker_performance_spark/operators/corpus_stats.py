@@ -252,3 +252,43 @@ def bigram_surprisal_scores(
         .cast("decimal(10,6)")
         .alias("avg_bits"),
     )
+
+
+def doc_length_histogram(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source log2-bucketed document-length histogram →
+    (source, bucket, lo_tokens, hi_tokens, n_docs): the corpus-shape
+    profile curation reads before setting length filters (and the
+    reference's per-column stats idea applied to the doc grain).
+
+    The bucket is the exact integer bit length of the token count
+    (``length(bin(n)) - 1`` == floor(log2 n) for n ≥ 1) — the same
+    libm-free determinism trick as the LM surprisal bits, so DuckDB
+    replays it bit-for-bit.  Map + one partial-aggregated groupBy of
+    (source, bucket) — output rows = #sources × #buckets."""
+    base = docs.select(
+        F.col(group_col).alias("source"),
+        F.size(ws_tokens(normalized_text(F.col(text_col)))).alias("n"),
+    )
+    bucket = (F.length(F.bin(F.col("n"))) - 1).cast("int")
+    return (
+        base.filter(F.col("n") >= 1)
+        .select("source", bucket.alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select(
+            "source",
+            "bucket",
+            # pyspark's shiftleft wrapper wants a literal bit count;
+            # the SQL form takes the bucket column
+            F.expr("shiftleft(cast(1 as bigint), bucket)").alias("lo_tokens"),
+            F.expr("shiftleft(cast(1 as bigint), bucket + 1) - 1").alias(
+                "hi_tokens"
+            ),
+            "n_docs",
+        )
+    )
