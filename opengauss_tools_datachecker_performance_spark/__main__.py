@@ -449,6 +449,7 @@ def _run_snapshot_delta(spark: SparkSession, args) -> dict | None:
         return None
     from opengauss_tools_datachecker_performance_spark.plans.snapshot import (
         snapshot_bucket_delta,
+        snapshot_drift,
     )
     from opengauss_tools_datachecker_performance_spark.sources.prehashed import (
         digest_companion_frame,
@@ -477,13 +478,28 @@ def _run_snapshot_delta(spark: SparkSession, args) -> dict | None:
         f"[snapshot] {len(parts)} partitions touched "
         f"({n_buckets} buckets) since {args.snapshot_delta}: {parts}"
     )
-    return {
+    section = {
         "old_snapshot": args.snapshot_delta,
         "n_partitions_touched": len(parts),
         "partitions_touched": parts,
         "n_buckets_touched": n_buckets,
         "delta_rows_new": int(sum(r["delta_rows_new"] for r in rolled)),
     }
+    if "text_len" in old.columns and "text_len" in new.columns:
+        # run-over-run drift rides the same two metadata scans (the
+        # companion stores text_len at ingest) — body-free
+        drift = snapshot_drift(old, new, threshold=args.drift_threshold)
+        drift_path = os.path.join(args.report_dir, "snapshot_drift.parquet")
+        drift.write.mode("overwrite").parquet(drift_path)
+        drifted = sorted(
+            r["part"]
+            for r in spark.read.parquet(drift_path)
+            .filter(F.col("drifted"))
+            .collect()
+        )
+        print(f"[snapshot] drifted partitions vs old snapshot: {drifted}")
+        section["drifted_partitions"] = drifted
+    return section
 
 
 def _run_substring_dedup(spark: SparkSession, args) -> dict | None:
@@ -931,7 +947,11 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                     os.path.join(args.report_dir, frame), ignore_errors=True
                 )
         if not args.snapshot_delta:
-            for frame in ("snapshot_delta.parquet", "snapshot_rollup.parquet"):
+            for frame in (
+                "snapshot_delta.parquet",
+                "snapshot_rollup.parquet",
+                "snapshot_drift.parquet",
+            ):
                 shutil.rmtree(
                     os.path.join(args.report_dir, frame), ignore_errors=True
                 )

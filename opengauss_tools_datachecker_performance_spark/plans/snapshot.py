@@ -95,3 +95,66 @@ def snapshot_bucket_delta(
         .alias("delta_rows_new"),
     )
     return delta, rollup
+
+
+def snapshot_drift(
+    old_digests: DataFrame,
+    new_digests: DataFrame,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    threshold: float = 0.3,
+    exact: bool = False,
+) -> DataFrame:
+    """Per-partition distribution drift BETWEEN snapshots — body-free:
+    both sides are digest frames carrying the stored ``text_len``
+    metric (the companion writes it at ingest), so run-over-run drift
+    costs two metadata scans, never a doc-body read.
+
+    → (part, status∈{new,gone,compared}, n_old, n_new, drift_score,
+    drifted): quantile profile of text_len at t2 vs t1 per partition,
+    KS-style max relative gap with the OLD snapshot as the baseline
+    (run N's own data is the yardstick for run N+1 — the cross-run
+    complement of checks/drift.py's cross-partition median baseline).
+    A partition present in only one snapshot is drift by definition.
+
+    ``exact=False`` (default) uses percentile_approx(10k) — mergeable,
+    bounded memory per group at any partition size; ``exact=True``
+    uses exact percentiles for oracle parity at test scale."""
+    grid = ", ".join(f"{p!r}D" for p in probs)
+    q_expr = (
+        F.expr(f"percentile(text_len, array({grid}))")
+        if exact
+        else F.expr(f"percentile_approx(text_len, array({grid}), 10000)")
+    )
+
+    def _prof(df: DataFrame, side: str) -> DataFrame:
+        return df.groupBy(F.col("part").cast("int").alias("part")).agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{side}"),
+            q_expr.alias(f"q_{side}"),
+        )
+
+    j = _prof(old_digests, "old").join(
+        _prof(new_digests, "new"), "part", "full_outer"
+    )
+    gap = F.aggregate(
+        F.zip_with(
+            "q_new",
+            "q_old",
+            lambda n, o: F.abs(n - o) / F.greatest(F.abs(o), F.lit(1.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    status = (
+        F.when(F.col("n_old").isNull(), F.lit("new"))
+        .when(F.col("n_new").isNull(), F.lit("gone"))
+        .otherwise(F.lit("compared"))
+    )
+    score = F.when(status == "compared", gap)
+    return j.select(
+        "part",
+        status.alias("status"),
+        F.col("n_old"),
+        F.col("n_new"),
+        score.alias("drift_score"),
+        F.coalesce(score > threshold, F.lit(True)).alias("drifted"),
+    )

@@ -409,6 +409,11 @@ def test_cli_interleaved_audit_and_snapshot_delta(spark, tmp_path):
     assert prof.count() > 0
     delta = spark.read.parquet(os.path.join(report, "snapshot_delta.parquet"))
     assert delta.count() == sd["n_buckets_touched"]
+    # both sides carry text_len (companion + derived frame) → the
+    # body-free run-over-run drift rides along
+    drift = spark.read.parquet(os.path.join(report, "snapshot_drift.parquet"))
+    assert drift.count() > 0
+    assert set(sd["drifted_partitions"]) <= {r.part for r in drift.collect()}
     # a later run WITHOUT the flags must clear the stale frames
     rc2 = main(
         ["--source", f"{corpus}/docs_sink.parquet", "--report-dir", report],
@@ -417,6 +422,7 @@ def test_cli_interleaved_audit_and_snapshot_delta(spark, tmp_path):
     assert rc2 in (0, 1)
     assert not os.path.isdir(os.path.join(report, "media_context_audit.parquet"))
     assert not os.path.isdir(os.path.join(report, "snapshot_delta.parquet"))
+    assert not os.path.isdir(os.path.join(report, "snapshot_drift.parquet"))
     summary2 = json.load(open(os.path.join(report, "summary.json")))
     assert "interleaved_audit" not in summary2
     assert "snapshot_delta" not in summary2

@@ -77,3 +77,33 @@ def test_length_histogram_buckets_are_exact_powers(spark):
     assert (got[2].lo_tokens, got[2].hi_tokens) == (4, 7)
     assert (got[6].lo_tokens, got[6].hi_tokens) == (64, 127)
     assert all(r.n_docs == 1 for r in got.values())
+
+
+def test_snapshot_drift_oracle_parity(spark, duck):
+    got = {tuple(map(str, r)) for r in QUERIES["snapshot_drift"](spark, SF_DIR).collect()}
+    want = {tuple(map(str, r)) for r in duck.execute(ORACLES["snapshot_drift"]).fetchall()}
+    assert got == want and len(got) > 0
+
+
+def test_snapshot_drift_statuses_and_scores(spark):
+    from opengauss_tools_datachecker_performance_spark.plans.snapshot import (
+        snapshot_drift,
+    )
+
+    old = spark.createDataFrame(
+        [(0, 10), (0, 20), (0, 30), (1, 5), (1, 5), (2, 7)],
+        "part int, text_len long",
+    )
+    new = spark.createDataFrame(
+        # part 0 unchanged; part 1 metric doubled (drift); part 3 new
+        [(0, 10), (0, 20), (0, 30), (1, 10), (1, 10), (3, 9)],
+        "part int, text_len long",
+    )
+    got = {r.part: r for r in snapshot_drift(old, new, threshold=0.3).collect()}
+    assert got[0].status == "compared" and not got[0].drifted
+    assert got[0].drift_score == 0.0
+    assert got[1].status == "compared" and got[1].drifted
+    assert got[1].drift_score == pytest.approx(1.0)  # 5 -> 10 per quantile
+    assert got[2].status == "gone" and got[2].drifted
+    assert got[2].drift_score is None and got[2].n_new is None
+    assert got[3].status == "new" and got[3].drifted and got[3].n_old is None
