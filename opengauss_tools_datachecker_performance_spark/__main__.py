@@ -424,29 +424,37 @@ def _run_interleaved_audit(spark: SparkSession, args) -> dict | None:
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.sum((~F.col("ok")).cast("long")), F.lit(0)).alias("bad"),
     ).collect()[0]
-    n_off = spark.read.parquet(off_path).count()
+    n_off_docs = spark.read.parquet(off_path).count()
     print(
         f"[interleaved] {a['n']} media spans audited "
-        f"({int(a['bad'])} lacking context), {n_off} offset violations "
-        f"→ {args.report_dir}"
+        f"({int(a['bad'])} lacking context), {n_off_docs} docs with "
+        f"offset violations → {args.report_dir}"
     )
     return {
         "min_words": args.interleaved_min_words,
         "n_media_spans": a["n"],
         "n_context_fail": int(a["bad"]),
-        "n_offset_violations": n_off,
+        # DOC count (one row per bad doc); per-doc dup/neg/null counts
+        # live in offset_integrity.parquet
+        "n_offset_violation_docs": n_off_docs,
     }
 
 
-def _run_snapshot_delta(spark: SparkSession, args) -> dict | None:
+def _run_snapshot_delta(
+    spark: SparkSession, args, new_digests=None
+) -> dict | None:
     """Run the --snapshot-delta incremental-scope comparison (if
     requested): the given OLD digest companion vs this run's source
     digests → snapshot_delta.parquet (changed buckets) +
     snapshot_rollup.parquet (partition re-validation scope). Body-free
-    when --source-companion is given; otherwise one digest pass over
-    the raw source."""
+    when --source-companion is given; ``new_digests`` threads the
+    validate run's PERSISTED enriched digest frame in so the raw
+    source is never digested a second time (only a run that skipped
+    validation falls back to its own digest pass)."""
     if not args.snapshot_delta:
         return None
+    import shutil
+
     from opengauss_tools_datachecker_performance_spark.plans.snapshot import (
         snapshot_bucket_delta,
         snapshot_drift,
@@ -460,7 +468,9 @@ def _run_snapshot_delta(spark: SparkSession, args) -> dict | None:
     )
 
     old = read_digest_companion(spark, args.snapshot_delta)
-    if args.source_companion:
+    if new_digests is not None:
+        new = new_digests
+    elif args.source_companion:
         new = read_digest_companion(spark, args.source_companion)
     else:
         new = digest_companion_frame(
@@ -499,6 +509,15 @@ def _run_snapshot_delta(spark: SparkSession, args) -> dict | None:
         )
         print(f"[snapshot] drifted partitions vs old snapshot: {drifted}")
         section["drifted_partitions"] = drifted
+    else:
+        # drift skipped (a side lacks text_len): a previous run's
+        # drift frame in this report dir would otherwise sit next to
+        # a summary whose snapshot_delta section has no drift — stale
+        # data presented as current
+        shutil.rmtree(
+            os.path.join(args.report_dir, "snapshot_drift.parquet"),
+            ignore_errors=True,
+        )
     return section
 
 
@@ -978,6 +997,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         else [pending]
     )
     schema_ok, schema_msg = True, ""
+    snap_digests = None  # validate's digest frame, held for --snapshot-delta
     progress = ProgressTracker(args.report_dir, run_id)
     for ch in chunks:
         # fast path: a full single wave needs no partition filter
@@ -1032,9 +1052,21 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 run_id,
                 partition_stats(src, partition_col=src_part_col),
             )
+        # --snapshot-delta without a companion would otherwise digest
+        # the raw source a SECOND time — on a single full wave, hand
+        # the validate run's persisted enriched digest frame over and
+        # defer its unpersist to after the snapshot stage
+        keep_digests = (
+            args.snapshot_delta
+            and not args.source_companion
+            and only is None
+            and result.extras.get("digests_source") is not None
+        )
+        if keep_digests:
+            snap_digests = result.extras["digests_source"]
         for df in (
             result.extras.get("violations_full"),
-            result.extras.get("digests_source"),
+            None if keep_digests else result.extras.get("digests_source"),
             result.extras.get("digests_sink"),
             result.extras.get("diffs"),
         ):
@@ -1166,7 +1198,9 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     subdup_section = _run_substring_dedup(spark, args)
     cstats_section = _run_corpus_stats(spark, args)
     inter_section = _run_interleaved_audit(spark, args)
-    snap_section = _run_snapshot_delta(spark, args)
+    snap_section = _run_snapshot_delta(spark, args, new_digests=snap_digests)
+    if snap_digests is not None:
+        snap_digests.unpersist()
     summary = summarize_dir(
         spark,
         args.report_dir,

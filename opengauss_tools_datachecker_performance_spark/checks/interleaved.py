@@ -57,8 +57,16 @@ def media_context_audit(docs: DataFrame, min_words: int = 8) -> DataFrame:
 
     Map-only: the per-doc audit array is built with transform/filter
     over the sorted spans and only MEDIA spans are exploded — a
-    text-only doc contributes zero rows and zero explode work."""
-    s = _sorted_spans(F.col("spans"))
+    text-only doc contributes zero rows and zero explode work.  The
+    sort materializes ONCE into a projected column before the lambdas
+    reference it (Catalyst does no CSE inside higher-order-function
+    lambdas — the neighbor lookups would otherwise re-sort the array
+    per element; same discipline as plans/runner._enriched_digests)."""
+    base = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        _sorted_spans(F.col("spans")).alias("_s"),
+    )
+    s = F.col("_s")
     audits = F.filter(
         F.transform(
             s,
@@ -76,7 +84,7 @@ def media_context_audit(docs: DataFrame, min_words: int = 8) -> DataFrame:
     )
     mw = F.lit(int(min_words))
     return (
-        docs.select(F.col("doc_id").cast("string").alias("doc_id"), audits.alias("_a"))
+        base.select("doc_id", audits.alias("_a"))
         .select("doc_id", F.explode("_a").alias("a"))
         .select(
             "doc_id",
@@ -94,14 +102,17 @@ def media_context_audit(docs: DataFrame, min_words: int = 8) -> DataFrame:
 
 def offset_integrity(docs: DataFrame) -> DataFrame:
     """→ (doc_id, n_spans, n_distinct_offsets, n_dup_offsets,
-    n_neg_offsets) for every doc whose span offsets are NOT unique
-    non-negative — the precondition for an unambiguous sorted span
-    order (digest.py canonicalization).  Map-only filter; the healthy
-    corpus emits nothing."""
+    n_neg_offsets, n_null_offsets) for every doc whose span offsets
+    are NOT unique, non-negative and non-NULL — the precondition for
+    an unambiguous sorted span order (digest.py canonicalization; a
+    NULL offset's sort placement is engine-dependent, so it is exactly
+    the ambiguity this check exists to catch).  Map-only filter; the
+    healthy corpus emits nothing."""
     offs = F.transform(F.col("spans"), lambda sp: sp["offset"])
     n = F.size(offs)
     nd = F.size(F.array_distinct(offs))
     neg = F.size(F.filter(offs, lambda o: o < 0))
+    nulls = F.size(F.filter(offs, lambda o: o.isNull()))
     return (
         docs.select(
             F.col("doc_id").cast("string").alias("doc_id"),
@@ -109,8 +120,13 @@ def offset_integrity(docs: DataFrame) -> DataFrame:
             nd.cast("int").alias("n_distinct_offsets"),
             (n - nd).cast("int").alias("n_dup_offsets"),
             neg.cast("int").alias("n_neg_offsets"),
+            nulls.cast("int").alias("n_null_offsets"),
         )
-        .filter((F.col("n_dup_offsets") > 0) | (F.col("n_neg_offsets") > 0))
+        .filter(
+            (F.col("n_dup_offsets") > 0)
+            | (F.col("n_neg_offsets") > 0)
+            | (F.col("n_null_offsets") > 0)
+        )
     )
 
 
@@ -139,7 +155,9 @@ def interleaved_profile(docs: DataFrame, partition_col: str = "part") -> DataFra
         F.sum("_n_spans").cast("long").alias("n_spans"),
         F.sum("_n_media").cast("long").alias("n_media_spans"),
         F.sum("_toks").cast("long").alias("text_tokens"),
-        F.round(F.sum("_n_media") / F.sum("_n_spans"), 6)
+        # try_divide: a partition of empty-span docs has 0 spans —
+        # NULL fraction, not an ANSI DIVIDE_BY_ZERO abort
+        F.round(F.try_divide(F.sum("_n_media"), F.sum("_n_spans")), 6)
         .cast("decimal(10,6)")
         .alias("media_span_fraction"),
     )

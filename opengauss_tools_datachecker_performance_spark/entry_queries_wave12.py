@@ -85,7 +85,8 @@ def q_media_context_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, CAST(n AS INT) AS n_spans,
            CAST(1 AS INT) AS n_distinct_offsets,
            CAST(n - 1 AS INT) AS n_dup_offsets,
-           CAST(0 AS INT) AS n_neg_offsets
+           CAST(0 AS INT) AS n_neg_offsets,
+           CAST(0 AS INT) AS n_null_offsets
     FROM s WHERE n > 1
     """,
 )
@@ -302,11 +303,16 @@ def q_snapshot_part_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_CODES, _PQ_CELLS, _PQ_NPROBE, _PQ_K, _PQ_OVER = 8, 16, 16, 2, 5, 4
 
 _ANN_IVF_PQ_SQL = f"""
-    WITH cb AS (
-      SELECT vec_id AS code,
+    WITH low AS (
+      SELECT vec_id,
              list_transform(embedding::DOUBLE[],
                             x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS ci
       FROM embeddings ORDER BY vec_id LIMIT {_PQ_CODES}
+    ),
+    cb AS (
+      -- PQ codes are dense ranks 0..n-1 by seed id (array positions
+      -- for the ADC lookup), not the raw seed ids
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, ci FROM low
     ),
     v AS (
       SELECT vec_id, embedding::DOUBLE[] AS ev,
@@ -320,7 +326,7 @@ _ANN_IVF_PQ_SQL = f"""
                PARTITION BY vec_id
                ORDER BY list_dot_product(vi::DOUBLE[], ci::DOUBLE[]) DESC, cell
              ) AS rn
-      FROM v, (SELECT code AS cell, ci FROM cb LIMIT {_PQ_CELLS})
+      FROM v, (SELECT vec_id AS cell, ci FROM low LIMIT {_PQ_CELLS})
     ),
     c AS (SELECT vec_id AS neighbor_id, cell FROM assign WHERE rn = 1),
     q AS (

@@ -524,9 +524,16 @@ def pq_codebook(
     the same never-silently-empty seeding rule as
     :func:`ivf_centroids` (each codeword's per-SUBSPACE slice is what
     the encoder compares against; swap in per-subspace k-means
-    codebooks at will).  → (code, ci)."""
-    return ivf_centroids(corpus, id_col, vec_col, n_codes, quantize_scale).select(
-        F.col("cell").alias("code"), "ci"
+    codebooks at will).  → (code, ci).
+
+    Codes are DENSE RANKS 0..n_codes-1 (by ascending seed id), not the
+    raw seed ids: the ADC lookup table is indexed by code, so codes
+    must be valid array positions for ANY corpus id range (sparse ids,
+    ids starting at 10^6, ...)."""
+    cent = ivf_centroids(corpus, id_col, vec_col, n_codes, quantize_scale)
+    w = Window.orderBy(F.col("cell").asc())  # ≤ n_codes rows — tiny
+    return cent.select(
+        (F.row_number().over(w) - 1).cast("long").alias("code"), "ci"
     )
 
 

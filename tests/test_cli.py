@@ -398,7 +398,7 @@ def test_cli_interleaved_audit_and_snapshot_delta(spark, tmp_path):
     summary = json.load(open(os.path.join(report, "summary.json")))
     ia = summary["interleaved_audit"]
     assert ia["n_media_spans"] > 0 and ia["min_words"] == 2
-    assert ia["n_offset_violations"] == 0  # synth offsets are clean
+    assert ia["n_offset_violation_docs"] == 0  # synth offsets are clean
     sd = summary["snapshot_delta"]
     assert sd["n_partitions_touched"] > 0 and sd["n_buckets_touched"] > 0
     assert sd["old_snapshot"] == old_comp

@@ -299,3 +299,51 @@ def test_ivf_pq_rejects_indivisible_dims(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     with pytest.raises(ValueError, match="not divisible"):
         ivf_pq_ann_topk(emb, emb, m_sub=7)
+
+
+def test_ivf_pq_invariant_under_id_translation(spark):
+    """PQ codes are dense ranks, not raw seed ids — results must be
+    identical (modulo the shift) for a corpus whose ids start at 1000
+    instead of 0.  Regression: the ADC LUT was once indexed by the raw
+    code id, silently NULLing every lookup on non-dense ids."""
+    from opengauss_tools_datachecker_performance_spark.operators.similarity import (
+        ivf_pq_ann_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    shifted = emb.withColumn("vec_id", F.col("vec_id") + 1000)
+    base = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_pq_ann_topk(
+            emb.filter(F.col("vec_id") % 50 == 0), emb, k=5
+        ).collect()
+    }
+    moved = {
+        (r.query_id - 1000, r.neighbor_id - 1000, r.rank)
+        for r in ivf_pq_ann_topk(
+            shifted.filter((F.col("vec_id") - 1000) % 50 == 0), shifted, k=5
+        ).collect()
+    }
+    assert base == moved and len(base) > 0
+
+
+def test_interleaved_profile_empty_spans_partition(spark):
+    """A partition of empty-span docs must profile (NULL fraction),
+    not abort with ANSI DIVIDE_BY_ZERO."""
+    docs = _docs(spark, [("a", [], 0), ("b", [], 0)])
+    [r] = interleaved_profile(docs).collect()
+    assert r.n_docs == 2 and r.n_spans == 0
+    assert r.media_span_fraction is None
+
+
+def test_offset_integrity_flags_null_offsets(spark):
+    docs = _docs(
+        spark,
+        [
+            ("ok", [_sp("text", "a", None, 0)], 0),
+            ("nul", [_sp("text", "a", None, None), _sp("text", "b", None, 5)], 0),
+        ],
+    )
+    got = {r.doc_id: r for r in offset_integrity(docs).collect()}
+    assert set(got) == {"nul"}
+    assert got["nul"].n_null_offsets == 1
