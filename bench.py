@@ -213,6 +213,14 @@ def main() -> None:
         "pii_scan",
         "mixing_plan",
         "duplicate_spans",
+        # wave 12/13: interleaved audits + snapshot scope + profiling
+        "media_context_audit",
+        "offset_integrity",
+        "interleaved_profile",
+        "snapshot_delta",
+        "snapshot_drift",
+        "asset_usage",
+        "doc_length_histogram",
     ]
     if os.environ.get("SPARK_GRAFT_BENCH_OPS", "1") == "0":
         op_names = []

@@ -1087,3 +1087,4 @@ from opengauss_tools_datachecker_performance_spark import entry_queries_wave10  
 from opengauss_tools_datachecker_performance_spark import entry_queries_wave11  # noqa: E402,F401
 from opengauss_tools_datachecker_performance_spark import entry_queries_wave12  # noqa: E402,F401
 from opengauss_tools_datachecker_performance_spark import entry_queries_wave13  # noqa: E402,F401
+from opengauss_tools_datachecker_performance_spark import entry_queries_wave14  # noqa: E402,F401

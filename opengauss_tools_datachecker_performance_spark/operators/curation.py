@@ -276,3 +276,46 @@ def _mixing_plan_rates(joined: DataFrame, token_budget: int) -> DataFrame:
         epochs.alias("epochs"),
         F.least(F.lit(1.0), epochs).alias("sample_rate"),
     )
+
+
+def budget_prune(
+    scored: DataFrame,
+    token_budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    score_col: str = "score",
+) -> DataFrame:
+    """Token-budget corpus selection (the CCNet/perplexity-pruning
+    recipe as an operator): rank docs best-score-first (ascending
+    ``score_col`` — e.g. LM surprisal bits — ties to ``id_col``), run
+    an exact global prefix sum of ``tokens_col`` along that order, and
+    keep docs while the running total fits ``token_budget``.
+
+    → (id, n_tokens, rank, cum_tokens, kept) for EVERY doc — the drop
+    set is auditable, not silently discarded.
+
+    Scale: the ranking and the running total both come from
+    operators.skew.global_rank_cumsum — three bounded passes, never a
+    single-task ``SUM() OVER (ORDER BY ...)`` window."""
+    from opengauss_tools_datachecker_performance_spark.operators.skew import (
+        global_rank_cumsum,
+    )
+
+    ranked = global_rank_cumsum(
+        scored.select(
+            F.col(id_col),
+            F.col(tokens_col).cast("long").alias(tokens_col),
+            F.col(score_col),
+        ),
+        [score_col, id_col],
+        tokens_col,
+        rank_name="rank",
+        cum_name="cum_tokens",
+    )
+    return ranked.select(
+        id_col,
+        tokens_col,
+        "rank",
+        "cum_tokens",
+        (F.col("cum_tokens") <= F.lit(int(token_budget))).alias("kept"),
+    )

@@ -154,3 +154,75 @@ def skew_factor(df: DataFrame) -> float:
     if not sizes or sum(sizes) == 0:
         return 1.0
     return max(sizes) / (sum(sizes) / len(sizes))
+
+
+def global_rank_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_col: str,
+    rank_name: str = "rn",
+    cum_name: str = "cum",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """:func:`global_rank` extended with an exact global PREFIX SUM of
+    ``sum_col`` in the same bounded three passes: the per-bucket
+    driver collect carries (count, sum) instead of count, so both the
+    rank offset and the running-total offset cumulate from #buckets
+    rows, and the single-task global window that
+    ``SUM() OVER (ORDER BY ...)`` would plan never exists.  Same
+    contract as global_rank: numeric leading order column, unique
+    order_cols for determinism, ties share a bucket by construction."""
+    spark = df.sparkSession
+    if n_buckets is None:
+        n_buckets = 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+    lead = F.col(order_cols[0]).cast("double")
+    mm = df.agg(F.min(lead).alias("lo"), F.max(lead).alias("hi")).collect()[0]
+    if mm["lo"] is None:
+        return (
+            df.withColumn(rank_name, F.lit(None).cast("long"))
+            .withColumn(cum_name, F.lit(None).cast("long"))
+            .limit(0)
+        )
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    span = hi - lo
+    if span > 0:
+        bucket = F.least(
+            F.lit(n_buckets - 1),
+            F.greatest(
+                F.lit(0), F.floor((lead - F.lit(lo)) / F.lit(span) * n_buckets)
+            ),
+        ).cast("int")
+    else:
+        bucket = F.lit(0)
+    bucketed = df.withColumn("_b", bucket)
+    stats = (
+        bucketed.groupBy("_b")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col(sum_col).cast("long")).alias("_s"),
+        )
+        .collect()
+    )
+    cum_n, cum_s = 0, 0
+    offsets = []
+    for r in sorted(stats, key=lambda r: r["_b"]):
+        offsets.append((r["_b"], cum_n, cum_s))
+        cum_n += r["_n"]
+        cum_s += r["_s"]
+    off = spark.createDataFrame(offsets, "_b int, _off long, _soff long")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_b").orderBy(*[F.col(c) for c in order_cols])
+    return (
+        bucketed.withColumn("_lrn", F.row_number().over(w))
+        .withColumn(
+            "_lcs",
+            F.sum(F.col(sum_col).cast("long")).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .join(F.broadcast(off), "_b")
+        .withColumn(rank_name, (F.col("_lrn") + F.col("_off")).cast("long"))
+        .withColumn(cum_name, (F.col("_lcs") + F.col("_soff")).cast("long"))
+        .drop("_b", "_lrn", "_lcs", "_off", "_soff")
+    )

@@ -47,6 +47,9 @@ ALLOW_BNLJ = {
     # broadcast 16-row PQ codebook into the encode/LUT passes (same
     # shape as ann_ivf's centroid broadcast)
     "ann_ivf_pq",
+    # inherits lm_surprisal's ONE-row vocab-scalar cross join (the
+    # scoring subtree feeding the prune)
+    "budget_prune",
 }
 
 
