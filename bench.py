@@ -221,6 +221,9 @@ def main() -> None:
         "snapshot_drift",
         "asset_usage",
         "doc_length_histogram",
+        # wave 14: web-corpus curation
+        "url_dedup",
+        "budget_prune",
     ]
     if os.environ.get("SPARK_GRAFT_BENCH_OPS", "1") == "0":
         op_names = []
