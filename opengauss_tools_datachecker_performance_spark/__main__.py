@@ -155,6 +155,13 @@ def build_parser() -> argparse.ArgumentParser:
              "section",
     )
     p.add_argument(
+        "--token-budget", type=int, default=None,
+        help="with --lm-surprisal: write the perplexity-pruning plan "
+             "(operators/curation.budget_prune) → budget_prune.parquet "
+             "— best-scored docs kept while the exact global running "
+             "token total fits this budget; keep/drop per doc",
+    )
+    p.add_argument(
         "--substring-dedup-table", default=None,
         help="corpus of (doc_id, text) to scan for cross-document "
              "duplicate passages (operators/substring_dedup.py): "
@@ -381,6 +388,62 @@ def _run_corpus_stats(spark: SparkSession, args) -> dict | None:
             f"[corpus-stats] {sstats['n_scored']} docs LM-scored "
             f"(mean {section['lm_surprisal']['mean_avg_bits']} bits) → {lm_path}"
         )
+        if args.token_budget:
+            from opengauss_tools_datachecker_performance_spark.functions.text import (
+                normalized_text,
+                ws_tokens,
+            )
+            from opengauss_tools_datachecker_performance_spark.operators.curation import (
+                budget_prune,
+            )
+
+            # prune off the WRITTEN scores — the scoring plan is not
+            # recomputed for the selection pass
+            lm_scores = spark.read.parquet(lm_path).select("doc_id", "avg_bits")
+            # aggregate per doc_id: the validated table may carry
+            # duplicate ids (a seeded violation class) — the budget
+            # charges the id's TOTAL tokens, and the join stays 1:1
+            # with the per-id LM scores
+            toks = (
+                docs.select(
+                    F.col("doc_id").cast("string").alias("doc_id"),
+                    F.size(ws_tokens(normalized_text(F.col("text"))))
+                    .cast("long")
+                    .alias("n_tokens"),
+                )
+                .groupBy("doc_id")
+                .agg(F.sum("n_tokens").alias("n_tokens"))
+            )
+            plan = budget_prune(
+                lm_scores.join(toks, "doc_id"),
+                args.token_budget,
+                score_col="avg_bits",
+            )
+            prune_path = os.path.join(args.report_dir, "budget_prune.parquet")
+            plan.write.mode("overwrite").parquet(prune_path)
+            pstats = (
+                spark.read.parquet(prune_path)
+                .agg(
+                    F.coalesce(F.sum(F.col("kept").cast("long")), F.lit(0))
+                    .alias("n_kept"),
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.coalesce(
+                        F.sum(F.when(F.col("kept"), F.col("n_tokens"))), F.lit(0)
+                    ).alias("kept_tokens"),
+                )
+                .collect()[0]
+            )
+            section["budget_prune"] = {
+                "token_budget": args.token_budget,
+                "n_kept": int(pstats["n_kept"]),
+                "n_dropped": int(pstats["n_docs"]) - int(pstats["n_kept"]),
+                "kept_tokens": int(pstats["kept_tokens"]),
+            }
+            print(
+                f"[corpus-stats] budget {args.token_budget}: kept "
+                f"{pstats['n_kept']}/{pstats['n_docs']} docs "
+                f"({pstats['kept_tokens']} tokens) → {prune_path}"
+            )
     return section
 
 
@@ -666,6 +729,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             "--near-dup-clusters needs the full-corpus pair run; it "
             "cannot cluster incremental (--near-dup-index) pairs"
         )
+    if args.token_budget and not args.lm_surprisal:
+        parser.error("--token-budget requires --lm-surprisal (the score source)")
     if bool(args.decontaminate_table) != bool(args.decontaminate_benchmark):
         parser.error(
             "--decontaminate-table and --decontaminate-benchmark "
@@ -982,6 +1047,11 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 shutil.rmtree(
                     os.path.join(args.report_dir, frame), ignore_errors=True
                 )
+        if not args.token_budget:
+            shutil.rmtree(
+                os.path.join(args.report_dir, "budget_prune.parquet"),
+                ignore_errors=True,
+            )
         if args.substring_dedup_table and not args.substring_dedup_apply:
             # passage scan requested without --apply: this run rewrites
             # duplicate_spans/span_removals but never clean_docs, so a

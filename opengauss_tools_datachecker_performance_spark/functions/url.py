@@ -58,8 +58,10 @@ def _canon_steps(u: Column) -> Column:
     c = F.regexp_replace(c, r"&" + _TRACK_RE, "")
     c = F.regexp_replace(c, r"\?" + _TRACK_RE + r"&", "?")
     c = F.regexp_replace(c, r"\?" + _TRACK_RE + r"$", "")
-    # trailing slash (keep a bare authority's root implicit)
-    c = F.regexp_replace(c, r"(.)/$", r"$1")
+    # trailing slashes — ALL of them, or canonicalization wouldn't be
+    # idempotent on '/a//' tails (found by the hypothesis fixed-point
+    # property); keep a bare authority's root implicit
+    c = F.regexp_replace(c, r"(.)/+$", r"$1")
     return F.when(u.isNull(), F.lit(None).cast("string")).otherwise(c)
 
 

@@ -353,6 +353,7 @@ def test_cli_corpus_stats_section(spark, tmp_path):
             "--corpus-stats-table", f"{corpus}/docs_source.parquet",
             "--corpus-stats-top-k", "25",
             "--lm-surprisal",
+            "--token-budget", "5000",
         ],
         spark=spark,
     )
@@ -370,6 +371,14 @@ def test_cli_corpus_stats_section(spark, tmp_path):
     assert vocab.count() == 25
     scores = spark.read.parquet(os.path.join(report, "lm_surprisal.parquet"))
     assert scores.filter("surprisal_bits < 0").count() == 0
+    bp = cs["budget_prune"]
+    assert bp["token_budget"] == 5000
+    assert bp["n_kept"] > 0 and bp["kept_tokens"] <= 5000
+    plan = spark.read.parquet(os.path.join(report, "budget_prune.parquet"))
+    assert plan.count() == bp["n_kept"] + bp["n_dropped"] == lm["n_scored"]
+    # kept set = exactly the best-ranked prefix
+    worst_kept = plan.filter("kept").agg({"rank": "max"}).collect()[0][0]
+    assert plan.filter(f"NOT kept AND rank <= {worst_kept}").count() == 0
 
 
 def test_cli_interleaved_audit_and_snapshot_delta(spark, tmp_path):

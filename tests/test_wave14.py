@@ -125,3 +125,83 @@ def test_budget_prune_boundary(spark):
     assert not got["c"].kept and not got["d"].kept
     assert got["b"].cum_tokens == 30 and got["c"].cum_tokens == 60
     assert [got[k].rank for k in "abcd"] == [1, 2, 3, 4]
+
+
+# --- randomized properties -------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_scheme = st.sampled_from(["http", "https", "HTTP", "HtTpS"])
+_host = st.from_regex(r"[A-Za-z][A-Za-z0-9-]{0,8}(\.[A-Za-z]{2,4}){1,2}", fullmatch=True)
+_path = st.from_regex(r"(/[A-Za-z0-9._~-]{0,6}){0,3}/?", fullmatch=True)
+_params = st.lists(
+    st.tuples(
+        st.sampled_from(["id", "q", "utm_source", "utm_campaign", "fbclid", "ref"]),
+        st.from_regex(r"[A-Za-z0-9]{0,5}", fullmatch=True),
+    ),
+    max_size=4,
+)
+
+
+@st.composite
+def _urls(draw):
+    scheme = draw(_scheme)
+    host = draw(_host)
+    www = draw(st.booleans())
+    port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+    path = draw(_path)
+    params = draw(_params)
+    q = "&".join(f"{k}={v}" for k, v in params)
+    frag = draw(st.sampled_from(["", "#x", "#frag"]))
+    return (
+        f"{scheme}://{'www.' if www else ''}{host}{port}{path}"
+        + (f"?{q}" if q else "")
+        + frag
+    )
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_urls(), min_size=1, max_size=40))
+def test_canonical_url_idempotent(spark, urls):
+    """canonical(canonical(u)) == canonical(u) — normalization is a
+    projection, so a re-crawl of already-canonical URLs must be a
+    fixed point (otherwise dedup keys drift run-over-run)."""
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonical_url(F.col("url")).alias("c1"))
+    twice = once.select(
+        F.col("c1"), canonical_url(F.col("c1")).alias("c2")
+    ).collect()
+    for r in twice:
+        assert r.c1 == r.c2, r
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.floats(0, 100, allow_nan=False), st.integers(1, 50)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_global_rank_cumsum_property(spark, rows):
+    """rank is a permutation of 1..n and cum is the exact prefix sum
+    along (score, id) for arbitrary score distributions (incl. heavy
+    ties — all equal scores land in one bucket by construction)."""
+    df = spark.createDataFrame(
+        [(str(i), s, w) for i, (s, w) in enumerate(rows)],
+        "k string, score double, w long",
+    )
+    got = sorted(
+        global_rank_cumsum(df, ["score", "k"], "w").collect(),
+        key=lambda r: r.rn,
+    )
+    assert [r.rn for r in got] == list(range(1, len(rows) + 1))
+    expect = sorted(
+        ((str(i), s, w) for i, (s, w) in enumerate(rows)),
+        key=lambda t: (t[1], t[0]),
+    )
+    cum = 0
+    for r, (k, s, w) in zip(got, expect):
+        cum += w
+        assert (r.k, r.cum) == (k, cum)
