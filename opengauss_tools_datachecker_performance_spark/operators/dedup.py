@@ -434,29 +434,38 @@ def simhash_near_duplicates(
     bands_df = simhash_bands(df, id_col, text_col).persist()
     if coverage_out is not None:
         coverage_out.setdefault("persisted", []).append(bands_df)
-    dropped: DataFrame | None = None
-    cand: DataFrame | None = None
-    for band in range(SIMHASH_BANDS):
-        sized = _with_group_size(
-            bands_df.select("doc_id", F.col(f"b{band}").alias("_key")),
-            ["_key"],
-            "_n",
+    # all four bands in ONE keyed frame: a single group-size pass and a
+    # single co-partitioned self-join on (band, key) replace four of
+    # each — same candidate set, quarter the shuffle stages (the key
+    # space is disjoint across bands because band is part of the key)
+    keyed = bands_df.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.col(f"b{band}").alias("_key"),
+                    )
+                    for band in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("_bk"),
+    ).select("doc_id", F.col("_bk.band").alias("_band"), F.col("_bk._key").alias("_key"))
+    sized = _with_group_size(keyed, ["_band", "_key"], "_n")
+    if coverage_out is not None:
+        coverage_out["simhash_dropped_bucket_entries"] = sized.filter(
+            F.col("_n") > max_bucket_size
         )
-        if coverage_out is not None:
-            over = sized.filter(F.col("_n") > max_bucket_size)
-            dropped = over if dropped is None else dropped.unionByName(over)
-        bucketed = sized.filter(F.col("_n") <= max_bucket_size)
-        a = bucketed.select(F.col("_key"), F.col("doc_id").alias("id_a"))
-        b = bucketed.select(F.col("_key"), F.col("doc_id").alias("id_b"))
-        pairs = (
-            a.join(b, "_key")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.distinct()
-    if coverage_out is not None and dropped is not None:
-        coverage_out["simhash_dropped_bucket_entries"] = dropped
+    bucketed = sized.filter(F.col("_n") <= max_bucket_size)
+    a = bucketed.select("_band", "_key", F.col("doc_id").alias("id_a"))
+    b = bucketed.select("_band", "_key", F.col("doc_id").alias("id_b"))
+    cand = (
+        a.join(b, ["_band", "_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     va = bands_df.select(
         F.col("doc_id").alias("id_a"),
         *[F.col(f"b{i}").alias(f"a{i}") for i in range(SIMHASH_BANDS)],
