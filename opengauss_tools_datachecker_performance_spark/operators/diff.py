@@ -110,11 +110,14 @@ def classify_diff(
         )
         first_bad = F.array_position(eq, F.lit(0)).cast("int")
         # NULL span_hashes (NULL spans column) locates like an empty
-        # array: zip_with/size return NULL for it, so coalesce both
-        # the position path and the length path to the 0-length view
+        # array. Under ANSI (Spark 4 default) size(NULL) is NULL →
+        # coalesce(...) gives 0; under ansi=false (every 3.x default,
+        # common migration override) size(NULL) is -1 — the greatest()
+        # clamp keeps the 0-length view on BOTH configurations instead
+        # of leaking span_idx=-1
         common_len = F.least(
-            F.coalesce(F.size("src_h"), F.lit(0)),
-            F.coalesce(F.size("sink_h"), F.lit(0)),
+            F.greatest(F.coalesce(F.size("src_h"), F.lit(0)), F.lit(0)),
+            F.greatest(F.coalesce(F.size("sink_h"), F.lit(0)), F.lit(0)),
         )
         cols.append(
             F.when(
@@ -233,10 +236,7 @@ def first_divergent_span(
     Pure Catalyst: zip_with over the two sorted span arrays, then the
     first false position — no Python.
     """
-    from opengauss_tools_datachecker_performance_spark.digest import (
-        span_sequence_canonical_col,
-        _sorted_spans,
-    )
+    from opengauss_tools_datachecker_performance_spark.digest import _sorted_spans
 
     s = src_docs.select(
         F.col(doc_id_col).cast("string").alias("key"),
@@ -250,20 +250,28 @@ def first_divergent_span(
         s = s.join(updated_keys.select("key"), "key", "left_semi")
         t = t.join(updated_keys.select("key"), "key", "left_semi")
     j = s.join(t, "key", "inner")
+
+    def _feq(a, b):
+        # the digest frames every field with null coalesced to ''
+        # (HashHandler.java:58 quirk, digest._framed) — the body
+        # locator MUST compare under the same equivalence or it
+        # reports a span the engine defines as equal (a null-vs-''
+        # field) instead of the first hash-divergent one
+        return F.coalesce(a, F.lit("")) == F.coalesce(b, F.lit(""))
+
     eq = F.zip_with(
         F.col("src_spans"),
         F.col("sink_spans"),
         lambda a, b: (
-            a["kind"].eqNullSafe(b["kind"])
-            & a["text"].eqNullSafe(b["text"])
-            & a["media_ref"].eqNullSafe(b["media_ref"])
+            _feq(a["kind"], b["kind"])
+            & _feq(a["text"], b["text"])
+            & _feq(a["media_ref"], b["media_ref"])
         ).cast("int"),
     )
-    # zip_with pads the shorter array with null structs; eqNullSafe
-    # against a null-struct field yields false, so extra spans on
-    # either side read as mismatches too. If no element mismatches
-    # (digest differed only via the null=='' quirk boundary), report
-    # the shorter length as the divergence point.
+    # zip_with pads the shorter array with null structs; a padded
+    # element's fields coalesce to '' and compare unequal to any
+    # non-empty field, so extra spans read as mismatches, and a
+    # length-only divergence falls through to the shorter length.
     first_bad = F.array_position(eq, F.lit(0)).cast("int")
     return j.select(
         "key",

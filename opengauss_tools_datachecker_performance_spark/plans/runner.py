@@ -29,6 +29,7 @@ from opengauss_tools_datachecker_performance_spark.checks.drift import (
 )
 from opengauss_tools_datachecker_performance_spark.checks.schema_check import (
     DOCS_SCHEMA,
+    SchemaCheckResult,
     check_schema,
 )
 from opengauss_tools_datachecker_performance_spark.checks.span_rules import (
@@ -194,6 +195,11 @@ def validate_docs(
     see plans.lineage for the anti-join that computes the list.
     """
     spark = docs_source.sparkSession
+    if driver_exchange and not eager:
+        # the exchange path is built around eagerly-materialized digest
+        # caches; silently falling back to the in-plan diff would make
+        # an A/B of the two strategies measure the same code twice
+        raise ValueError("driver_exchange=True requires eager=True")
 
     docs_source = docs_source.withColumnRenamed(partition_col, "part")
     if docs_sink is not None:
@@ -220,6 +226,16 @@ def validate_docs(
     sres = _precheck(docs_source)
     if sres.equal and docs_sink is not None:
         sres = _precheck(docs_sink)
+    # the partition column is part of the structural contract too —
+    # without this, a typo'd --partition-col crashes in the digest
+    # projection instead of failing the schema gate gracefully
+    if sres.equal:
+        for side in (docs_source, docs_sink):
+            if side is not None and "part" not in side.columns:
+                sres = SchemaCheckResult(
+                    equal=False, missing_columns=[partition_col]
+                )
+                break
     if only_partitions is not None:
         docs_source = docs_source.filter(F.col("part").isin(only_partitions))
         if docs_sink is not None:
@@ -297,7 +313,12 @@ def validate_docs(
                 no_diff = True
             elif len(bad) <= max(1, len(seen) // 2):
                 bucket_prune = bad
-            # else: most buckets dirty — pruning can't pay, fall through
+            else:
+                # most buckets dirty — pruning can't pay; the
+                # signatures are ALREADY known dirty-majority, so the
+                # fall-through must not re-run the in-plan two-phase
+                # signature agg it just superseded
+                two_phase = False
             # to the plain full-outer join over the whole caches
         elif dig_sink is not None:
             # materialize both sides' caches as CONCURRENT jobs (Spark
@@ -451,11 +472,20 @@ def validate_docs(
     # tasks × ~200 ms of Python-worker round trip (~42 slot-seconds of
     # zero-CPU dead time) in the final collect stage at any
     # parallelism. The literal explode stays in codegen. ---
+    # only constraints that actually RAN appear: a no-sink run never
+    # compared anything, a no-assets run never resolved a media_ref —
+    # reporting those as 'pass' would present unexecuted checks as
+    # green (the grid row's absence is the honest signal)
+    active = [
+        c
+        for c in CONSTRAINTS
+        if c != "drift"
+        and (c != "consistency" or docs_sink is not None)
+        and (c != "referential" or assets is not None)
+    ]
     grid = parts_all.select(
         "part",
-        F.explode(
-            F.array(*[F.lit(c) for c in CONSTRAINTS if c != "drift"])
-        ).alias("constraint"),
+        F.explode(F.array(*[F.lit(c) for c in active])).alias("constraint"),
     )
     verdicts = (
         grid.join(counts, ["part", "constraint"], "left")
@@ -465,7 +495,21 @@ def validate_docs(
         )
     )
     if drift is not None:
-        verdicts = verdicts.unionByName(drift_verdicts(drift))
+        dv = drift_verdicts(drift)
+        # a sink-only partition has NO source rows, so no drift profile
+        # exists for it — its distribution vanished, which IS drift;
+        # emit an explicit fail instead of leaving a hole in the
+        # partitions × constraints grid
+        vanished = (
+            parts_all.join(dv.select("part"), "part", "left_anti")
+            .select(
+                "part",
+                F.lit("drift").alias("constraint"),
+                F.lit(1).cast("long").alias("n_violations"),
+                F.lit("fail").alias("status"),
+            )
+        )
+        verdicts = verdicts.unionByName(dv).unionByName(vanished)
 
     return ValidationResult(
         violations=violations,

@@ -135,12 +135,21 @@ def update_digest_companion(
         if new is not None:
             upk = new.select("key")
             touched = upk if touched is None else touched.unionByName(upk)
+        # broadcast is right for the normal CDC trickle but fatal for
+        # a bulk backfill / wholesale delete whose key set is
+        # corpus-sized; with AQE on (production default) let the
+        # RUNTIME size decide, pinning the hint only when AQE is off
+        # (same treatment as checks/span_rules.py's dangling-ref join)
+        aqe = (
+            spark.conf.get("spark.sql.adaptive.enabled", "true").lower()
+            == "true"
+        )
         if touched is not None:
+            touched_d = touched.distinct()
+            t_side = touched_d if aqe else F.broadcast(touched_d)
             parts |= {
                 r[0]
-                for r in comp.join(
-                    F.broadcast(touched.distinct()), "key", "left_semi"
-                )
+                for r in comp.join(t_side, "key", "left_semi")
                 .select("part")
                 .distinct()
                 .collect()
@@ -150,7 +159,7 @@ def update_digest_companion(
 
         cur = comp.filter(F.col("part").isin(list(parts)))
         drop = touched.distinct()
-        keep = cur.join(F.broadcast(drop), "key", "left_anti")
+        keep = cur.join(drop if aqe else F.broadcast(drop), "key", "left_anti")
         out = keep if new is None else keep.unionByName(new.select(*keep.columns))
         # isolate the new content from the files it is computed from
         # (Spark refuses to overwrite a path it is reading)
@@ -183,10 +192,17 @@ def _overwrite_partitions(
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     finally:
         frame.unpersist()
-    import shutil
-
+    # emptied partitions: delete through the Hadoop FileSystem API so
+    # hdfs:///s3a:// companion paths work too — a local-only
+    # shutil.rmtree would silently leave the stale part= dir on remote
+    # storage and the next diff would report phantom deletes
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
     for p in set(expected_parts) - remaining:
-        shutil.rmtree(os.path.join(path, f"part={p}"), ignore_errors=True)
+        jpath = jvm.org.apache.hadoop.fs.Path(os.path.join(path, f"part={p}"))
+        fs = jpath.getFileSystem(hconf)
+        if fs.exists(jpath) and not fs.delete(jpath, True):
+            raise IOError(f"failed to delete emptied partition dir {jpath}")
 
 
 def maintain_companion_from_cdc(
