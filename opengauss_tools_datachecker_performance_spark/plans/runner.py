@@ -242,9 +242,21 @@ def validate_docs(
             docs_sink = docs_sink.filter(F.col("part").isin(only_partitions))
 
     if not sres.equal:
-        parts_all = docs_source.select("part").distinct()
-        if docs_sink is not None:
-            parts_all = parts_all.union(docs_sink.select("part")).distinct()
+        # the fail branch cannot assume the partition column exists —
+        # that may be exactly what failed; one NULL-part row then
+        sides = [
+            d
+            for d in (docs_source, docs_sink)
+            if d is not None and "part" in d.columns
+        ]
+        if sides:
+            parts_all = sides[0].select("part").distinct()
+            for d in sides[1:]:
+                parts_all = parts_all.union(d.select("part")).distinct()
+        else:
+            parts_all = spark.range(1).select(
+                F.lit(None).cast("int").alias("part")
+            )
         verdicts = parts_all.select(
             "part",
             F.lit("schema").alias("constraint"),

@@ -133,3 +133,54 @@ def test_max_violations_cap(corpus):
         (r["part"], r["constraint"], r["n_violations"])
         for r in full.verdicts.collect()
     )
+
+
+def test_grid_omits_checks_that_never_ran(corpus):
+    """A no-sink run must not report consistency=pass, a no-assets run
+    must not report referential=pass — the grid only contains
+    constraints that executed (review hardening)."""
+    res = validate_docs(corpus["docs_source"], None, None)
+    constraints = {r["constraint"] for r in res.verdicts.collect()}
+    assert "consistency" not in constraints
+    assert "referential" not in constraints
+    assert {"unique", "null_text", "drift"} <= constraints
+    res2 = validate_docs(corpus["docs_source"], corpus["docs_sink"], None)
+    c2 = {r["constraint"] for r in res2.verdicts.collect()}
+    assert "consistency" in c2 and "referential" not in c2
+
+
+def test_sink_only_partition_gets_drift_fail(spark, corpus):
+    """A partition wholesale-deleted from the source must appear in
+    the drift rows as an explicit fail (its distribution vanished),
+    not as a hole in the grid."""
+    src_cut = corpus["docs_source"].filter(F.col("part") != 3)
+    res = validate_docs(src_cut, corpus["docs_sink"], corpus["assets"])
+    drift_rows = {
+        r["part"]: r for r in res.verdicts.collect() if r["constraint"] == "drift"
+    }
+    assert 3 in drift_rows
+    assert drift_rows[3]["status"] == "fail"
+    # every partition in the universe has a drift row
+    parts = {r["part"] for r in res.verdicts.collect()}
+    assert set(drift_rows) == parts
+
+
+def test_missing_partition_column_fails_schema_gate(corpus):
+    """A typo'd partition column is a graceful schema failure, not an
+    AnalysisException from the digest projection."""
+    res = validate_docs(
+        corpus["docs_source"].drop("part"), None, None,
+        partition_col="no_such_col",
+    )
+    assert not res.schema_ok
+    assert "no_such_col" in res.schema_message
+
+
+def test_driver_exchange_requires_eager(corpus):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="eager"):
+        validate_docs(
+            corpus["docs_source"], corpus["docs_sink"], corpus["assets"],
+            eager=False, driver_exchange=True,
+        )
