@@ -250,7 +250,13 @@ def shingle_rows(
 
     toks = df.select(
         F.col(id_col).cast("string").alias("doc_id"),
-        ws_tokens(normalized_text(F.col(text_col))).alias("_toks"),
+        # NULL text behaves like empty text: without the coalesce a
+        # NULL token array (size NULL under ANSI) falls out of BOTH
+        # branches below and the doc silently vanishes from the index
+        F.coalesce(
+            ws_tokens(normalized_text(F.col(text_col))),
+            F.array().cast("array<string>"),
+        ).alias("_toks"),
     )
     rows = toks.select(
         "doc_id",

@@ -155,7 +155,12 @@ def dedup_survivors(
     j = labels.join(
         docs.select(
             F.col(id_col).cast("string").alias("id"),
-            F.length(text_col).cast("long").alias("text_len"),
+            # NULL text counts as length 0: struct-MIN orders a NULL
+            # field BEFORE any value, so an unguarded length would
+            # elect a null-text doc survivor over real text
+            F.coalesce(F.length(text_col), F.lit(0)).cast("long").alias(
+                "text_len"
+            ),
         ),
         "id",
     )

@@ -76,13 +76,19 @@ def exact_duplicate_decisions(
         F.col(id_col).cast("string").alias("doc_id"),
         fingerprint(F.col(text_col)).alias("fingerprint"),
     )
+    # join on a null-coalesced key: NULL-text docs share the NULL
+    # fingerprint GROUP (groupBy groups nulls) but a plain equi-join
+    # would drop them — the decisions output must cover every group
+    # the groups view reports
+    key = F.coalesce(F.col("fingerprint"), F.lit("\x00null"))
+    fp = fp.withColumn("_fpk", key)
     groups = (
-        fp.groupBy("fingerprint")
+        fp.groupBy("_fpk")
         .agg(F.count(F.lit(1)).alias("_n"), F.min("doc_id").alias("keep_id"))
         .filter(F.col("_n") > 1)
         .drop("_n")
     )
-    return fp.join(groups, "fingerprint").select(
+    return fp.join(groups, "_fpk").select(
         "doc_id",
         "fingerprint",
         "keep_id",
@@ -121,6 +127,12 @@ def minhash_buckets_from_shingle_rows(
     the shingle rows (e.g. the persisted index of
     operators/dedup_index.py) pay for ONE text scan and derive both
     index frames from the same cached rows."""
+    if num_hashes % bands:
+        # truncating would silently waste signature hashes (pay for
+        # num_hashes MINs, get the recall of bands*(num_hashes//bands))
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
     rows_per_band = num_hashes // bands
     sig = rows.groupBy("doc_id").agg(
         *[
@@ -571,51 +583,70 @@ def embedding_near_duplicates(
         norm,
     )
 
-    v = embeddings.select(
-        F.col(id_col).cast("long").alias("vid"),
-        F.col(vec_col).cast("array<double>").alias("vec"),
-    ).withColumn("nrm", norm(F.col("vec")))
+    # persist: the vector frame feeds the signature pass AND both
+    # re-score joins (same discipline as the MinHash/SimHash siblings);
+    # the handle registers in coverage_out['persisted'] for release()
+    v = (
+        embeddings.select(
+            F.col(id_col).cast("long").alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+        .withColumn("nrm", norm(F.col("vec")))
+        .persist()
+    )
+    if coverage_out is not None:
+        coverage_out.setdefault("persisted", []).append(v)
 
-    cand: DataFrame | None = None
-    dropped: DataFrame | None = None
-    for t in range(n_tables):
-        sized = _with_group_size(
-            v.select(
-                "vid",
-                hyperplane_signature(F.col("vec"), dims, n_planes, t).alias(
-                    "bucket"
-                ),
-            ),
-            ["bucket"],
-            "bucket_n",
+    # all tables in ONE keyed frame: a single group-size pass and one
+    # co-partitioned self-join on (table, bucket) replace n_tables of
+    # each (same fold as the simhash band probe)
+    keyed = v.select(
+        "vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("_tbl"),
+                        hyperplane_signature(
+                            F.col("vec"), dims, n_planes, t
+                        ).alias("_bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("_tb"),
+    ).select("vid", F.col("_tb._tbl").alias("_tbl"), F.col("_tb._bucket").alias("_bucket"))
+    sized = _with_group_size(keyed, ["_tbl", "_bucket"], "bucket_n")
+    if coverage_out is not None:
+        coverage_out["embedding_dropped_bucket_entries"] = sized.filter(
+            F.col("bucket_n") > max_bucket_size
         )
-        if coverage_out is not None:
-            over = sized.filter(F.col("bucket_n") > max_bucket_size)
-            dropped = over if dropped is None else dropped.unionByName(over)
-        bucketed = sized.filter(F.col("bucket_n") <= max_bucket_size)
-        a = bucketed.select("bucket", F.col("vid").alias("id_a"))
-        b = bucketed.select("bucket", F.col("vid").alias("id_b"))
-        pairs = (
-            a.join(b, "bucket")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.distinct()
-    if coverage_out is not None and dropped is not None:
-        coverage_out["embedding_dropped_bucket_entries"] = dropped
+    bucketed = sized.filter(F.col("bucket_n") <= max_bucket_size)
+    a = bucketed.select("_tbl", "_bucket", F.col("vid").alias("id_a"))
+    b = bucketed.select("_tbl", "_bucket", F.col("vid").alias("id_b"))
+    cand = (
+        a.join(b, ["_tbl", "_bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
     # exact re-score of candidates only; per-row norms were
-    # materialized once above (bit-identical to per-pair norm())
+    # materialized once above (bit-identical to per-pair norm()).
+    # try_divide: a zero-norm vector (failed/padded embedding) lands
+    # in bucket 0 of every table — its pairs must score NULL (and
+    # drop at the threshold filter), not abort the job with ANSI
+    # DIVIDE_BY_ZERO
     va = v.withColumnsRenamed({"vid": "id_a", "vec": "vec_a", "nrm": "nrm_a"})
     vb = v.withColumnsRenamed({"vid": "id_b", "vec": "vec_b", "nrm": "nrm_b"})
     scored = cand.join(va, "id_a").join(vb, "id_b")
     return scored.select(
         "id_a",
         "id_b",
-        (dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b"))).alias(
-            "cos_sim"
-        ),
+        F.try_divide(
+            dot(F.col("vec_a"), F.col("vec_b")),
+            F.col("nrm_a") * F.col("nrm_b"),
+        ).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= threshold)
 
 
@@ -653,10 +684,17 @@ def embedding_near_duplicates_ivf(
         norm,
     )
 
-    v = embeddings.select(
-        F.col(id_col).cast("long").alias("vid"),
-        F.col(vec_col).cast("array<double>").alias("vec"),
-    ).withColumn("nrm", norm(F.col("vec")))
+    # persist: v feeds the assignment pass and both re-score joins
+    v = (
+        embeddings.select(
+            F.col(id_col).cast("long").alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+        .withColumn("nrm", norm(F.col("vec")))
+        .persist()
+    )
+    if coverage_out is not None:
+        coverage_out.setdefault("persisted", []).append(v)
     cent = ivf_centroids(v, "vid", "vec", n_cells, quantize_scale)
     assigned = ivf_assign(
         v.select("vid", F.col("vec")).withColumn(
@@ -685,10 +723,13 @@ def embedding_near_duplicates_ivf(
     va = v.withColumnsRenamed({"vid": "id_a", "vec": "vec_a", "nrm": "nrm_a"})
     vb = v.withColumnsRenamed({"vid": "id_b", "vec": "vec_b", "nrm": "nrm_b"})
     scored = cand.join(va, "id_a").join(vb, "id_b")
+    # try_divide: zero-norm vectors score NULL and drop at the
+    # threshold, instead of an ANSI DIVIDE_BY_ZERO abort
     return scored.select(
         "id_a",
         "id_b",
-        (dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b"))).alias(
-            "cos_sim"
-        ),
+        F.try_divide(
+            dot(F.col("vec_a"), F.col("vec_b")),
+            F.col("nrm_a") * F.col("nrm_b"),
+        ).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= threshold)

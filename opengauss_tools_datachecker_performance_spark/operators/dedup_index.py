@@ -104,13 +104,19 @@ def _overwrite_batch(frame: DataFrame, path: str, batch: str) -> None:
     frame.write.mode("overwrite").parquet(os.path.join(path, f"batch={batch}"))
 
 
-def _drop_batch_subdirs(path: str, key: str) -> None:
+def _drop_batch_subdirs(spark: SparkSession, path: str, key: str) -> None:
     """Remove a batch's (possibly partial, e.g. from a replayed crash)
-    subdirs from both index tables."""
-    import shutil
+    subdirs from both index tables — through the Hadoop FileSystem API
+    so hdfs:///s3a:// index paths work (a local-only rmtree would
+    silently leave the partial buckets-only subdir behind, and its
+    docs' candidate pairs would then drop at the shingle-size join
+    with no coverage accounting)."""
+    from opengauss_tools_datachecker_performance_spark.sources.table_io import (
+        hadoop_rmtree,
+    )
 
     for t in ("buckets.parquet", "shingles.parquet"):
-        shutil.rmtree(os.path.join(path, t, f"batch={key}"), ignore_errors=True)
+        hadoop_rmtree(spark, os.path.join(path, t, f"batch={key}"))
 
 
 def _read_others(
@@ -204,7 +210,7 @@ def update_minhash_index(
         n = rows.select("doc_id").distinct().count()
         if n == 0:
             # nothing new: remove a possibly-partial replayed subdir
-            _drop_batch_subdirs(path, key)
+            _drop_batch_subdirs(rows.sparkSession, path, key)
             return 0
         b, s = minhash_index_frames(
             fresh, id_col, text_col, shingle_k, num_hashes, bands, rows=rows
@@ -267,7 +273,7 @@ def ingest_batch(
         persisted.extend([b.persist(), s.persist()])
         n = rows.select("doc_id").distinct().count()
         if n == 0:
-            _drop_batch_subdirs(path, key)
+            _drop_batch_subdirs(rows.sparkSession, path, key)
         else:
             _overwrite_batch(b, os.path.join(path, "buckets.parquet"), key)
             _overwrite_batch(s, os.path.join(path, "shingles.parquet"), key)

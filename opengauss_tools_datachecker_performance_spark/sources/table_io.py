@@ -73,3 +73,15 @@ def current_snapshot_id(spark: SparkSession, ref: str) -> int | None:
         f"SELECT snapshot_id FROM {ident}.snapshots ORDER BY committed_at DESC LIMIT 1"
     ).head(1)
     return row[0]["snapshot_id"] if row else None
+
+
+def hadoop_rmtree(spark: SparkSession, path: str) -> None:
+    """Recursive delete through the Hadoop FileSystem API — works for
+    local paths AND hdfs:///s3a:// storage, where a shutil.rmtree
+    would silently no-op and leave stale files behind.  Missing paths
+    are fine; a delete the filesystem REFUSES raises."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath) and not fs.delete(jpath, True):
+        raise IOError(f"failed to delete {path}")

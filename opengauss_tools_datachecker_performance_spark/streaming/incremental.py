@@ -53,9 +53,18 @@ class IncrementalChecker:
     ``pending`` holds diff keys seen once; a key is only emitted as a
     confirmed violation when it diffs in two consecutive checks
     (IncrementCheckThread.secondaryCheckCompare:197-210 semantics).
-    ``increment-max-diff-count`` analogue: keys exceeding
-    ``max_retries`` re-checks are force-reported.
-    """
+    ``increment-max-diff-count`` analogue: a key that keeps
+    FLIP-FLOPPING (re-entering the pending cycle more than
+    ``max_retries`` times without ever confirming) is force-reported.
+
+    Durability: each batch appends its NEWLY confirmed keys to a
+    ``batch=<id>`` subdir of ``incremental_violations.parquet`` —
+    idempotent under checkpoint replays (same batch id overwrites its
+    own subdir) and earlier batches' confirmations survive a stream
+    restart. The ``pending``/flap counters are driver-memory only: a
+    restart resets them, which errs conservative (a key needs two
+    FRESH sightings again — no false confirmations, at worst a
+    delayed one)."""
 
     def __init__(
         self,
@@ -69,6 +78,7 @@ class IncrementalChecker:
         self.out_dir = out_dir
         self.max_retries = max_retries
         self.pending: dict[str, tuple[str, int]] = {}  # key -> (diff_type, seen)
+        self.flaps: dict[str, int] = {}  # key -> pending-cycle entries
         self.confirmed: list[tuple[str, str, int]] = []  # (key, diff_type, batch)
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -85,21 +95,30 @@ class IncrementalChecker:
         ).collect()}
         checked = {r["doc_id"] for r in keys.collect()}
         nxt: dict[str, tuple[str, int]] = {}
+        newly: list[tuple[str, str, int]] = []
         for k in checked:
             if k in diffs:
                 dt = diffs[k]
                 seen = self.pending.get(k, (dt, 0))[1] + 1
-                if seen >= 2 or seen > self.max_retries:
-                    self.confirmed.append((k, dt, batch_id))
+                if seen == 1:
+                    self.flaps[k] = self.flaps.get(k, 0) + 1
+                if seen >= 2 or self.flaps.get(k, 0) > self.max_retries:
+                    newly.append((k, dt, batch_id))
+                    self.flaps.pop(k, None)
                 else:
                     nxt[k] = (dt, seen)
             # keys that no longer diff simply drop out (lag absorbed)
         self.pending = nxt
-        if self.confirmed:
+        self.confirmed.extend(newly)
+        if newly:
             spark.createDataFrame(
-                self.confirmed, "key string, diff_type string, batch_id long"
+                newly, "key string, diff_type string, batch_id long"
             ).write.mode("overwrite").parquet(
-                os.path.join(self.out_dir, "incremental_violations.parquet")
+                os.path.join(
+                    self.out_dir,
+                    "incremental_violations.parquet",
+                    f"batch={batch_id}",
+                )
             )
 
     def start(
