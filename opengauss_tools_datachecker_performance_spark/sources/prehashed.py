@@ -196,13 +196,12 @@ def _overwrite_partitions(
     # hdfs:///s3a:// companion paths work too — a local-only
     # shutil.rmtree would silently leave the stale part= dir on remote
     # storage and the next diff would report phantom deletes
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
+    from opengauss_tools_datachecker_performance_spark.sources.table_io import (
+        hadoop_rmtree,
+    )
+
     for p in set(expected_parts) - remaining:
-        jpath = jvm.org.apache.hadoop.fs.Path(os.path.join(path, f"part={p}"))
-        fs = jpath.getFileSystem(hconf)
-        if fs.exists(jpath) and not fs.delete(jpath, True):
-            raise IOError(f"failed to delete emptied partition dir {jpath}")
+        hadoop_rmtree(spark, os.path.join(path, f"part={p}"))
 
 
 def maintain_companion_from_cdc(
