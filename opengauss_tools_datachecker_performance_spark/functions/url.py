@@ -11,7 +11,9 @@ plus the conventional tracking-parameter strip):
 * default ports stripped (``:80`` for http, ``:443`` for https)
 * tracking query parameters removed (``utm_*``, ``fbclid``,
   ``gclid``, ``ref``); a query left empty drops its ``?``
-* fragment dropped; trailing slash trimmed (root path kept as ``/``)
+* fragment dropped; trailing PATH slashes trimmed — including a bare
+  root ``/`` — but only when no query survives, so a slash inside a
+  query value (``?next=/home/``) is never touched
 
 Every step is a regexp_replace/lower chain, so a DuckDB oracle can
 replay it with the same regexes — and the whole expression inlines
@@ -58,10 +60,13 @@ def _canon_steps(u: Column) -> Column:
     c = F.regexp_replace(c, r"&" + _TRACK_RE, "")
     c = F.regexp_replace(c, r"\?" + _TRACK_RE + r"&", "?")
     c = F.regexp_replace(c, r"\?" + _TRACK_RE + r"$", "")
-    # trailing slashes — ALL of them, or canonicalization wouldn't be
-    # idempotent on '/a//' tails (found by the hypothesis fixed-point
-    # property); keep a bare authority's root implicit
-    c = F.regexp_replace(c, r"(.)/+$", r"$1")
+    # trailing PATH slashes — ALL of them, or canonicalization wouldn't
+    # be idempotent on '/a//' tails (found by the hypothesis fixed-point
+    # property).  The [^?#]-anchored prefix confines the strip to URLs
+    # with no surviving query/fragment, so a slash that ends a QUERY
+    # VALUE ('?next=/home/') is preserved; a bare authority's root
+    # slash is dropped (root stays implicit).
+    c = F.regexp_replace(c, r"^([^?#]*[^?#/])/+$", r"$1")
     return F.when(u.isNull(), F.lit(None).cast("string")).otherwise(c)
 
 

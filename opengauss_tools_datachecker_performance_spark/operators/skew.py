@@ -176,7 +176,25 @@ def global_rank_cumsum(
     if n_buckets is None:
         n_buckets = 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
     lead = F.col(order_cols[0]).cast("double")
-    mm = df.agg(F.min(lead).alias("lo"), F.max(lead).alias("hi")).collect()[0]
+    mm = df.agg(
+        F.min(lead).alias("lo"),
+        F.max(lead).alias("hi"),
+        # contract check folded into the pass we already pay for: NULL
+        # order values would make bucket NULL (driver sort TypeError)
+        # and NULL sums would poison the running total — fail fast
+        F.sum(
+            F.when(
+                lead.isNull() | F.col(sum_col).isNull(), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).alias("n_null"),
+    ).collect()[0]
+    if mm["n_null"]:
+        raise ValueError(
+            f"global_rank_cumsum: {mm['n_null']} row(s) have NULL in "
+            f"order column {order_cols[0]!r} or sum column {sum_col!r}; "
+            "the contract requires non-NULL numeric values — filter or "
+            "coalesce them before ranking"
+        )
     if mm["lo"] is None:
         return (
             df.withColumn(rank_name, F.lit(None).cast("long"))

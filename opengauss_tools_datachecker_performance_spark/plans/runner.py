@@ -236,9 +236,13 @@ def validate_docs(
                     equal=False, missing_columns=[partition_col]
                 )
                 break
+    # only filter sides that actually carry the partition column — when
+    # the schema gate just failed for a missing 'part', the filter would
+    # raise UNRESOLVED_COLUMN and mask the graceful fail verdict below
     if only_partitions is not None:
-        docs_source = docs_source.filter(F.col("part").isin(only_partitions))
-        if docs_sink is not None:
+        if "part" in docs_source.columns:
+            docs_source = docs_source.filter(F.col("part").isin(only_partitions))
+        if docs_sink is not None and "part" in docs_sink.columns:
             docs_sink = docs_sink.filter(F.col("part").isin(only_partitions))
 
     if not sres.equal:

@@ -72,13 +72,22 @@ class IncrementalChecker:
         docs_sink: DataFrame,
         out_dir: str,
         max_retries: int = 3,
+        max_batch_keys: int = 1_000_000,
+        flap_ttl_batches: int = 10,
     ):
         self.docs_source = docs_source
         self.docs_sink = docs_sink
         self.out_dir = out_dir
         self.max_retries = max_retries
+        # driver-memory bound: the per-batch key set is collect()ed, so a
+        # caller feeding a full-table "batch" must fail loudly, not OOM
+        self.max_batch_keys = max_batch_keys
+        # a flap entry whose key stayed out of pending this many batches
+        # is dropped (lag absorbed for good) — keeps the dict bounded on
+        # long streams with many transient diffs
+        self.flap_ttl_batches = flap_ttl_batches
         self.pending: dict[str, tuple[str, int]] = {}  # key -> (diff_type, seen)
-        self.flaps: dict[str, int] = {}  # key -> pending-cycle entries
+        self.flaps: dict[str, tuple[int, int]] = {}  # key -> (cycles, last_batch)
         self.confirmed: list[tuple[str, str, int]] = []  # (key, diff_type, batch)
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -90,10 +99,21 @@ class IncrementalChecker:
                 [(k,) for k in self.pending], "doc_id string"
             )
             keys = keys.unionByName(prev).distinct()
+        # limit+1 bounds the driver transfer BEFORE collecting; the cap
+        # is a contract violation, not a squelch — fail with the remedy
+        key_rows = keys.limit(self.max_batch_keys + 1).collect()
+        if len(key_rows) > self.max_batch_keys:
+            raise ValueError(
+                f"incremental batch {batch_id} carries more than "
+                f"max_batch_keys={self.max_batch_keys} changed keys; "
+                "this checker is for CDC-sized batches — run the full "
+                "validate_docs plan for table-scale re-checks, or raise "
+                "max_batch_keys explicitly"
+            )
+        checked = {r["doc_id"] for r in key_rows}
         diffs = {r["key"]: r["diff_type"] for r in check_changed_keys(
             keys, self.docs_source, self.docs_sink
         ).collect()}
-        checked = {r["doc_id"] for r in keys.collect()}
         nxt: dict[str, tuple[str, int]] = {}
         newly: list[tuple[str, str, int]] = []
         for k in checked:
@@ -101,14 +121,24 @@ class IncrementalChecker:
                 dt = diffs[k]
                 seen = self.pending.get(k, (dt, 0))[1] + 1
                 if seen == 1:
-                    self.flaps[k] = self.flaps.get(k, 0) + 1
-                if seen >= 2 or self.flaps.get(k, 0) > self.max_retries:
+                    cycles = self.flaps.get(k, (0, batch_id))[0] + 1
+                    self.flaps[k] = (cycles, batch_id)
+                else:
+                    prev_cycles = self.flaps.get(k, (0, batch_id))[0]
+                    self.flaps[k] = (prev_cycles, batch_id)
+                if seen >= 2 or self.flaps.get(k, (0, 0))[0] > self.max_retries:
                     newly.append((k, dt, batch_id))
                     self.flaps.pop(k, None)
                 else:
                     nxt[k] = (dt, seen)
             # keys that no longer diff simply drop out (lag absorbed)
         self.pending = nxt
+        # evict stale flap entries: not pending and silent for TTL batches
+        self.flaps = {
+            k: (c, b)
+            for k, (c, b) in self.flaps.items()
+            if k in self.pending or batch_id - b < self.flap_ttl_batches
+        }
         self.confirmed.extend(newly)
         if newly:
             spark.createDataFrame(

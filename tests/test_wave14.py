@@ -55,6 +55,11 @@ CANON_CASES = [
     ("http://site.com:443/a", "http://site.com:443/a"),
     ("http://example.com/", "http://example.com"),
     ("http://example.com", "http://example.com"),
+    # a trailing slash inside a query VALUE is semantically significant
+    # and survives; only pure path tails are stripped
+    ("https://site.com/login?next=/home/", "https://site.com/login?next=/home/"),
+    ("https://site.com/a/?id=1", "https://site.com/a/?id=1"),
+    ("https://site.com/a//", "https://site.com/a"),
     ("not a url", "not a url"),
     (None, None),
 ]
