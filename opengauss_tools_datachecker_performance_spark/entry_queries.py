@@ -416,7 +416,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups = d.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
-    return exact_duplicate_groups(d.unionByName(dups), "doc_id", "text").drop("all_ids")
+    # sample_ids_cap=None: the catalog view is count+min only — no
+    # id-sample branch, pure partial aggregate
+    return exact_duplicate_groups(
+        d.unionByName(dups), "doc_id", "text", sample_ids_cap=None
+    )
 
 
 @query(

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from opengauss_tools_datachecker_performance_spark.functions.hashing import (
     portable_hash64,
@@ -39,23 +40,62 @@ from opengauss_tools_datachecker_performance_spark.functions.text import (
 )
 
 
-def exact_duplicate_groups(
-    df: DataFrame, id_col: str, text_col: str
+def _capped_group_ids(
+    rows: DataFrame, group_col: str, cap: int
 ) -> DataFrame:
-    """→ (fingerprint, n_docs, keep_id, dup_ids): one row per content
-    group with >1 member; keep_id = min id (the canonical survivor)."""
+    """→ (<group_col>, all_ids): the ``cap`` smallest doc_ids per group,
+    sorted — WITHOUT an unbounded per-group ``collect_list``.  Rows are
+    rank-filtered inside their group first (row_number spills through
+    the sort; it never buffers the group), so the aggregate only ever
+    collects ≤cap ids even for a 10^8-copy boilerplate group."""
+    w = Window.partitionBy(group_col).orderBy("doc_id")
+    return (
+        rows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .groupBy(group_col)
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("all_ids"))
+    )
+
+
+def exact_duplicate_groups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sample_ids_cap: int | None = 100,
+) -> DataFrame:
+    """→ (fingerprint, n_docs, keep_id[, all_ids]): one row per content
+    group with >1 member; keep_id = min id (the canonical survivor).
+
+    ``all_ids`` is a SAMPLE of the ``sample_ids_cap`` smallest member
+    ids (``n_docs`` stays the true count) — an uncapped per-group
+    collect would materialize one giant array row for a boilerplate
+    group at corpus scale.  Pass ``sample_ids_cap=None`` to skip the
+    id-sample branch entirely (count+min only, pure partial aggregate);
+    for per-row keep/remove application use
+    :func:`exact_duplicate_decisions`."""
     fp = df.select(
         F.col(id_col).cast("string").alias("doc_id"),
         fingerprint(F.col(text_col)).alias("fingerprint"),
     )
-    return (
-        fp.groupBy("fingerprint")
+    # groupBy groups NULL fingerprints; the sample join must too, so
+    # both aggregates key on a null-coalesced group key
+    fpk = fp.withColumn(
+        "_fpk", F.coalesce(F.col("fingerprint"), F.lit("\x00null"))
+    )
+    groups = (
+        fpk.groupBy("_fpk")
         .agg(
+            F.first("fingerprint").alias("fingerprint"),
             F.count(F.lit(1)).alias("n_docs"),
             F.min("doc_id").alias("keep_id"),
-            F.array_sort(F.collect_list("doc_id")).alias("all_ids"),
         )
         .filter(F.col("n_docs") > 1)
+    )
+    if sample_ids_cap is None:
+        return groups.select("fingerprint", "n_docs", "keep_id")
+    sample = _capped_group_ids(fpk, "_fpk", sample_ids_cap)
+    return groups.join(sample, "_fpk").select(
+        "fingerprint", "n_docs", "keep_id", "all_ids"
     )
 
 
@@ -406,20 +446,27 @@ def simhash_signature(bands_df: DataFrame) -> DataFrame:
     return bands_df.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash_duplicate_groups(
+    df: DataFrame, id_col: str, text_col: str, sample_ids_cap: int = 100
+) -> DataFrame:
     """SimHash exact-bucket (Hamming-0) groups over the 60-bit
-    signature: → (simhash, n_docs, keep_id, all_ids). For Hamming > 0
-    near-dups use :func:`simhash_near_duplicates` (pair output — no
-    mega-group collect at corpus scale)."""
+    signature: → (simhash, n_docs, keep_id, all_ids).  ``all_ids`` is
+    capped at ``sample_ids_cap`` members (``n_docs`` stays exact) —
+    same rank-then-collect shape as :func:`exact_duplicate_groups`.
+    For Hamming > 0 near-dups use :func:`simhash_near_duplicates`
+    (pair output — no mega-group collect at corpus scale)."""
     s = simhash_signature(simhash_bands(df, id_col, text_col))
-    return (
+    groups = (
         s.groupBy("simhash")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min("doc_id").alias("keep_id"),
-            F.array_sort(F.collect_list("doc_id")).alias("all_ids"),
         )
         .filter(F.col("n_docs") > 1)
+    )
+    sample = _capped_group_ids(s, "simhash", sample_ids_cap)
+    return groups.join(sample, "simhash").select(
+        "simhash", "n_docs", "keep_id", "all_ids"
     )
 
 

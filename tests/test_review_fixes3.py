@@ -150,3 +150,48 @@ def test_global_rank_cumsum_rejects_nulls(spark):
     # empty frame still returns the documented empty result, no raise
     empty = spark.createDataFrame([], "score double, k string, w int")
     assert global_rank_cumsum(empty, ["score", "k"], "w").count() == 0
+
+
+def test_exact_duplicate_groups_caps_id_sample(spark):
+    """A mega duplicate group must not materialize an unbounded all_ids
+    array: the sample caps at sample_ids_cap while n_docs stays true."""
+    from opengauss_tools_datachecker_performance_spark.operators.dedup import (
+        exact_duplicate_groups,
+    )
+
+    docs = spark.createDataFrame(
+        [(f"d{i:03d}", "boilerplate") for i in range(50)]
+        + [("u1", "unique one"), ("u2", "unique one")],
+        "doc_id string, text string",
+    )
+    rows = {
+        r.n_docs: r
+        for r in exact_duplicate_groups(
+            docs, "doc_id", "text", sample_ids_cap=5
+        ).collect()
+    }
+    big = rows[50]
+    assert len(big.all_ids) == 5 and big.all_ids == sorted(big.all_ids)
+    assert big.keep_id == "d000" and big.all_ids[0] == "d000"
+    assert rows[2].all_ids == ["u1", "u2"]
+    # cap=None drops the sample branch entirely
+    no_ids = exact_duplicate_groups(docs, "doc_id", "text", sample_ids_cap=None)
+    assert no_ids.columns == ["fingerprint", "n_docs", "keep_id"]
+    plan = no_ids._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+
+
+def test_simhash_duplicate_groups_caps_id_sample(spark):
+    from opengauss_tools_datachecker_performance_spark.operators.dedup import (
+        simhash_duplicate_groups,
+    )
+
+    docs = spark.createDataFrame(
+        [(f"d{i:02d}", "same text for every doc here") for i in range(12)],
+        "doc_id string, text string",
+    )
+    [row] = simhash_duplicate_groups(
+        docs, "doc_id", "text", sample_ids_cap=4
+    ).collect()
+    assert row.n_docs == 12 and len(row.all_ids) == 4
+    assert row.keep_id == "d00" and row.all_ids == ["d00", "d01", "d02", "d03"]
