@@ -5,6 +5,8 @@ undeclared Arrow/pandas eval node, or an unbounded global sort.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from opengauss_tools_datachecker_performance_spark.entry_queries import QUERIES
@@ -68,4 +70,68 @@ def test_catalog_plan_is_clean(spark, name):
     if "rangepartitioning" in plan:
         assert "TakeOrderedAndProject" in plan or name in ALLOW_ARROW, (
             f"{name}: unbounded global sort"
+        )
+    _assert_global_windows_bounded(name, plan)
+
+
+# --- single-partition window audit -----------------------------------
+# A Window with no PARTITION BY runs in ONE task. That is fine exactly
+# when its input is bounded by construction (a grouped aggregate's
+# output, a top-k, a limit) — e.g. the phase-2 rankings in mixing_plan
+# (per-source aggregate), vocab_stats (two-phase salted top-K) and
+# ann_ivf_pq (per-query re-rank candidates). Anything else is a global
+# scan through one task and must fail review here.
+
+#: physical nodes that cap the row count of the frame feeding the window
+_BOUNDED_PRODUCERS = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "TakeOrderedAndProject",
+    "GlobalLimit",
+    "CollectLimit",
+)
+
+_CONNECTOR = re.compile(r"\+\-|:\-")
+
+
+def _node_indent(line: str) -> int:
+    m = _CONNECTOR.search(line)
+    return m.start() if m else -1
+
+
+def _top_level_groups(s: str) -> int:
+    """#comma-separated bracket groups at depth 0 in a Window node spec:
+    3 = partitioned ([funcs], [partSpec], [orderSpec]), 2 = global."""
+    depth, groups = 0, 1
+    for ch in s:
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            groups += 1
+    return groups
+
+
+def _assert_global_windows_bounded(name: str, plan: str) -> None:
+    lines = plan.splitlines()
+    for li, line in enumerate(lines):
+        i = line.find("Window [")
+        if i < 0:
+            continue
+        if _top_level_groups(line[i + len("Window "):]) >= 3:
+            continue  # partitioned window — parallel, not audited here
+        wi = _node_indent(line)
+        subtree = []
+        for nxt in lines[li + 1:]:
+            if _node_indent(nxt) <= wi:
+                break
+            subtree.append(nxt)
+        assert any(
+            node in s for s in subtree for node in _BOUNDED_PRODUCERS
+        ), (
+            f"{name}: single-partition Window over an unbounded frame "
+            f"(no aggregate/top-k/limit below it):\n{line.strip()}\n"
+            + "\n".join(s.rstrip() for s in subtree[:8])
         )
