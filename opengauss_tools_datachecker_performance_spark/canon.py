@@ -129,6 +129,51 @@ def canon_binary(c: Column) -> Column:
     return F.upper(F.hex(c))
 
 
+# --- Oracle dialect (OracleResultSetHandler.java:40-54) ---------------
+# The reference's third dialect handler maps NUMBER through BigDecimal
+# (integer for scale ≤ 0, double for scale > 0, sci-notation
+# flattened), RAW through JDBC getString (plain upper hex), BLOB
+# through HexUtil.byteToHexTrim (upper hex, TRAILING ZERO BYTES
+# dropped), CLOB/NCLOB through a BufferedReader.readLine loop (which
+# CONCATENATES lines — line terminators vanish), XMLTYPE through
+# getString.  Same families as the generic handlers above, but the
+# edge behavior differs enough to warrant explicit expressions +
+# goldens (tests/test_canon.py).
+
+
+def canon_oracle_number(c: Column, scale: int = 0) -> Column:
+    """NUMBER(p,s) → BigInteger string when -84 ≤ s ≤ 0, else the
+    double's string with scientific notation expanded
+    (SimpleTypeHandlerFactory.java:574-591 createOracleBigDecimalHandler)."""
+    if -84 <= scale <= 0:
+        return c.cast("decimal(38,0)").cast("string")
+    return canon_double_plain(c)
+
+
+def canon_oracle_raw(c: Column) -> Column:
+    """RAW → plain upper-case hex, no trim (createOracleRawHandler is
+    ResultSet::getString; Oracle JDBC renders RAW as upper hex)."""
+    return F.upper(F.hex(c))
+
+
+def canon_oracle_blob(c: Column) -> Column:
+    """BLOB → upper hex with trailing ZERO BYTES removed
+    (HexUtil.byteToHexTrim: 02AA00 → 02AA; all-zero → empty string)."""
+    return F.regexp_replace(F.upper(F.hex(c)), "(00)+$", "")
+
+
+def canon_oracle_clob(c: Column) -> Column:
+    """CLOB/NCLOB → the reader-loop concatenation of lines: line
+    terminators are DROPPED, not normalized
+    (createOracleClobHandler appends readLine() results bare)."""
+    return F.regexp_replace(c.cast("string"), "\r\n|\r|\n", "")
+
+
+def canon_oracle_xml(c: Column) -> Column:
+    """XMLTYPE → pass-through string (createOracleXmlHandler)."""
+    return c.cast("string")
+
+
 def canon_date(c: Column) -> Column:
     return F.date_format(c.cast("date"), "yyyy-MM-dd")
 

@@ -166,11 +166,75 @@ class IncrementalChecker:
         )
 
 
+def plan_change_source(
+    uri: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = 10_000,
+    max_files_per_trigger: int = 4,
+    schema: str = "doc_id string",
+) -> tuple[str, dict[str, str], str | None, str | None]:
+    """→ (format, options, load_path, schema): the reader config for a
+    change feed — ONE code path for the production Kafka source and the
+    file-based test double, so the option plumbing the sandbox can't
+    exercise against a broker is still test-pinned.
+
+    ``kafka://host1:9092,host2:9092/topic`` → the Structured-Streaming
+    Kafka source (reference S5: DataConsolidationServiceImpl consumes
+    the Debezium topic; the per-trigger cap is the rate half of
+    IncrementDataAnalysisService.java:102-170's dual threshold —
+    records-count × time window).  Anything else is a directory of
+    parquet files (maxFilesPerTrigger plays the same batching role).
+    """
+    if uri.startswith("kafka://"):
+        rest = uri[len("kafka://"):]
+        servers, sep, topic = rest.partition("/")
+        if not sep or not topic or not servers:
+            raise ValueError(
+                f"kafka change-source uri must be kafka://<servers>/<topic>, got {uri!r}"
+            )
+        options = {
+            "kafka.bootstrap.servers": servers,
+            "subscribe": topic,
+            "startingOffsets": starting_offsets,
+            # replaying from a compacted/expired offset must surface,
+            # not silently skip: a missed change is a missed check
+            "failOnDataLoss": "true",
+        }
+        if max_offsets_per_trigger is not None:
+            options["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+        # Kafka source has a fixed schema (key/value binary, topic,
+        # partition, offset, timestamp) — never user-supplied
+        return "kafka", options, None, None
+    return (
+        "parquet",
+        {"maxFilesPerTrigger": str(max_files_per_trigger)},
+        uri,
+        schema,
+    )
+
+
+def open_change_source(spark: SparkSession, uri: str, **plan_kwargs) -> DataFrame:
+    """Materialize :func:`plan_change_source` into a streaming frame of
+    (doc_id).  A Kafka feed carries Debezium envelopes in ``value`` —
+    decoded with sources.debezium.decode_debezium, keys projected; the
+    file double already IS (doc_id) rows."""
+    fmt, options, path, schema = plan_change_source(uri, **plan_kwargs)
+    reader = spark.readStream.format(fmt).options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.load(path) if path is not None else reader.load()
+    if fmt == "kafka":
+        from opengauss_tools_datachecker_performance_spark.sources.debezium import (
+            decode_debezium,
+        )
+
+        df = decode_debezium(df).select(F.col("key").alias("doc_id"))
+    return df
+
+
 def file_change_source(spark: SparkSession, dir_path: str) -> DataFrame:
     """Test/demo change feed: parquet files of (doc_id) appearing in a
-    directory. Swap for readStream.format('kafka') in production."""
-    return (
-        spark.readStream.schema("doc_id string")
-        .option("maxFilesPerTrigger", 4)
-        .parquet(dir_path)
-    )
+    directory — the file-double route through
+    :func:`plan_change_source` (``kafka://`` uris take the broker
+    route with the same call)."""
+    return open_change_source(spark, dir_path)

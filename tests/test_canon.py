@@ -223,3 +223,71 @@ def test_golden_unsigned_and_decimal_scales(spark):
         _one(spark, decimal.Decimal("0"), T.DecimalType(10, 0), canon_decimal)
         == "0"
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-dialect goldens (OracleResultSetHandler.java:40-54 +
+# SimpleTypeHandlerFactory.java:574-675 + HexUtil.java byteToHexTrim)
+# ---------------------------------------------------------------------------
+
+
+def test_golden_oracle_number(spark):
+    from opengauss_tools_datachecker_performance_spark.canon import (
+        canon_oracle_number,
+    )
+
+    # scale ≤ 0 → BigInteger string (decimal dropped, not rounded away
+    # by a double hop); NUMBER(38) magnitudes survive
+    dec = T.DecimalType(38, 0)
+    big = decimal.Decimal("99999999999999999999999999999999999999")
+    assert _one(spark, big, dec, canon_oracle_number, scale=0) == str(big)
+    assert (
+        _one(spark, decimal.Decimal("-12345"), dec, canon_oracle_number, scale=0)
+        == "-12345"
+    )
+    # scale > 0 → doubleValue() string, sci-notation flattened to plain
+    assert _one(spark, 1.5, T.DoubleType(), canon_oracle_number, scale=2) == "1.5"
+    assert (
+        _one(spark, 1.0e20, T.DoubleType(), canon_oracle_number, scale=2)
+        == "100000000000000000000"
+    )
+
+
+def test_golden_oracle_raw_vs_blob_trim(spark):
+    from opengauss_tools_datachecker_performance_spark.canon import (
+        canon_oracle_blob,
+        canon_oracle_raw,
+    )
+
+    bt = T.BinaryType()
+    # RAW: plain upper hex, zero bytes KEPT (ResultSet::getString)
+    assert _one(spark, b"\x02\xaa\x00", bt, canon_oracle_raw) == "02AA00"
+    # BLOB: HexUtil.byteToHexTrim — trailing zero bytes dropped
+    assert _one(spark, b"\x02\xaa\x00", bt, canon_oracle_blob) == "02AA"
+    assert _one(spark, b"\x02\xaa\x00\x00", bt, canon_oracle_blob) == "02AA"
+    # interior zeros survive; only the tail trims
+    assert _one(spark, b"\x00\x10\x00", bt, canon_oracle_blob) == "0010"
+    # all-zero payload trims to the empty string (byteToHexTrim's
+    # fast/slow loop never appends)
+    assert _one(spark, b"\x00\x00", bt, canon_oracle_blob) == ""
+    # no accidental odd-aligned trim: 0x30,0x00 -> "30", 0x03,0x00 -> "03"
+    assert _one(spark, b"\x30\x00", bt, canon_oracle_blob) == "30"
+    assert _one(spark, b"\x03\x00", bt, canon_oracle_blob) == "03"
+
+
+def test_golden_oracle_clob_and_xml(spark):
+    from opengauss_tools_datachecker_performance_spark.canon import (
+        canon_oracle_clob,
+        canon_oracle_xml,
+    )
+
+    st = T.StringType()
+    # readLine-loop concatenation: terminators vanish entirely
+    assert (
+        _one(spark, "line1\nline2\r\nline3\r", st, canon_oracle_clob)
+        == "line1line2line3"
+    )
+    assert _one(spark, "no newline", st, canon_oracle_clob) == "no newline"
+    assert (
+        _one(spark, "<a><b>x</b></a>", st, canon_oracle_xml) == "<a><b>x</b></a>"
+    )

@@ -217,3 +217,47 @@ def test_watermark_window_rate_drops_late_and_survives_restart(spark, tmp_path):
     assert a["n_events"] == 2
     assert a["sum_value"] == "3.0000"
     assert a["events_per_sec"] == "0.001111"
+
+
+def test_plan_change_source_kafka_options():
+    """The production Kafka route shares plan_change_source with the
+    file double: topic/offset/trigger plumbing is pinned here even
+    though the sandbox has no broker (reference
+    IncrementDataAnalysisService.java:102-170 dual threshold)."""
+    from opengauss_tools_datachecker_performance_spark.streaming.incremental import (
+        plan_change_source,
+    )
+
+    fmt, options, path, schema = plan_change_source(
+        "kafka://b1:9092,b2:9092/cdc_docs",
+        starting_offsets="earliest",
+        max_offsets_per_trigger=5000,
+    )
+    assert fmt == "kafka" and path is None and schema is None
+    assert options == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "cdc_docs",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "true",
+        "maxOffsetsPerTrigger": "5000",
+    }
+    # rate cap disabled -> option absent entirely, not "None"
+    _, opts2, _, _ = plan_change_source(
+        "kafka://b:9092/t", max_offsets_per_trigger=None
+    )
+    assert "maxOffsetsPerTrigger" not in opts2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="kafka://"):
+        plan_change_source("kafka://only-servers-no-topic")
+
+
+def test_plan_change_source_file_double():
+    from opengauss_tools_datachecker_performance_spark.streaming.incremental import (
+        plan_change_source,
+    )
+
+    fmt, options, path, schema = plan_change_source("/tmp/changes")
+    assert fmt == "parquet" and path == "/tmp/changes"
+    assert options == {"maxFilesPerTrigger": "4"}
+    assert schema == "doc_id string"
