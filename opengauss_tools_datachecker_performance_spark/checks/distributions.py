@@ -1,0 +1,116 @@
+"""Distribution-shape checks: Benford first-digit profile, categorical
+chi-square drift, and robust (median/MAD) outlier detection.
+
+Complements checks/drift.py (numeric quantile/t-digest drift) with the
+categorical and fraud-detection-shaped families.  All outputs round
+through fixed-scale decimals so DuckDB oracles hash identically.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dec(c, scale: int = 6):
+    return F.round(c, scale).cast(f"decimal(18,{scale})").cast("string")
+
+
+def benford_profile(df: DataFrame, col: str) -> DataFrame:
+    """First-significant-digit profile vs Benford's law →
+    (digit, n, observed_p, expected_p, abs_dev), digits 1-9.
+
+    The digit is extracted integer-side (round(x*100) → leading digit
+    of the cents string) so both engines derive it from identical
+    integer strings — no float-format or log10-boundary dependence.
+    Values < 0.01 or NULL are excluded.  One partial aggregate to 9
+    rows; the share window runs over that aggregate (bounded)."""
+    cents = F.round(F.abs(F.col(col)) * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = (
+        df.filter(F.col(col).isNotNull() & (F.abs(F.col(col)) >= 0.01))
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.lit(0))
+    obs = F.col("n") / F.sum("n").over(w)
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return counts.select(
+        "digit",
+        "n",
+        _dec(obs).alias("observed_p"),
+        _dec(exp).alias("expected_p"),
+        _dec(F.abs(obs - exp)).alias("abs_dev"),
+    )
+
+
+def categorical_drift_chi2(
+    src: DataFrame, sink: DataFrame, col: str
+) -> DataFrame:
+    """Categorical distribution drift between two table versions →
+    (category, n_src, n_sink, p_src, p_sink, chi2_term): per-category
+    counts, shares, and the chi-square contribution
+    (p_sink - p_src)² / p_src computed on shares (0 when the category
+    is absent from the source — a NEW category is reported with
+    chi2_term NULL so it can't silently average away).
+
+    Two partial aggregates (one per side, map-side combined) full-outer
+    joined on the category — the category cardinality is the only
+    shuffled row count."""
+    a = src.groupBy(F.col(col).alias("category")).agg(
+        F.count(F.lit(1)).alias("n_src")
+    )
+    b = sink.groupBy(F.col(col).alias("category")).agg(
+        F.count(F.lit(1)).alias("n_sink")
+    )
+    j = a.join(b, "category", "full_outer").select(
+        "category",
+        F.coalesce("n_src", F.lit(0)).alias("n_src"),
+        F.coalesce("n_sink", F.lit(0)).alias("n_sink"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.lit(0))
+    p_src = F.col("n_src") / F.sum("n_src").over(w)
+    p_sink = F.col("n_sink") / F.sum("n_sink").over(w)
+    chi2 = F.when(
+        F.col("n_src") > 0, F.pow(p_sink - p_src, 2) / p_src
+    )  # NULL for new categories
+    return j.select(
+        "category",
+        "n_src",
+        "n_sink",
+        _dec(p_src).alias("p_src"),
+        _dec(p_sink).alias("p_sink"),
+        _dec(chi2, 8).alias("chi2_term"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame, key_col: str, col: str, k: float = 3.5
+) -> DataFrame:
+    """Robust outliers: |x - median| / (1.4826·MAD) > k →
+    (key, value) rows.  Median and MAD are EXACT percentiles (two
+    aggregation passes); the scores join back via a one-row broadcast.
+    The 1.4826 factor makes MAD consistent with σ under normality
+    (standard robust-statistics constant)."""
+    x = F.col(col).cast("double")
+    med_row = df.agg(F.expr(f"percentile({col}, 0.5)").alias("med"))
+    med = med_row.collect()[0]["med"]
+    if med is None:
+        return df.sparkSession.createDataFrame([], "key string, value double")
+    dev = df.agg(
+        F.expr(f"percentile(abs({col} - {float(med)!r}), 0.5)").alias("mad")
+    ).collect()[0]["mad"]
+    scale = 1.4826 * float(dev)
+    if scale == 0.0:
+        scale = float("inf")  # degenerate: >half identical values -> no outliers
+    return (
+        df.filter(F.abs(x - F.lit(float(med))) / F.lit(scale) > F.lit(float(k)))
+        .select(F.col(key_col).cast("string").alias("key"), x.alias("value"))
+    )
