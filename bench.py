@@ -224,6 +224,16 @@ def main() -> None:
         # wave 14: web-corpus curation
         "url_dedup",
         "budget_prune",
+        # wave 15: constraint/distribution checks, CDC merge, temporal
+        "fd_check",
+        "pk_gap_scan",
+        "benford_profile",
+        "chi2_drift",
+        "outlier_mad",
+        "merge_upsert",
+        "as_of_join",
+        "sessionize",
+        "range_join_count",
     ]
     if os.environ.get("SPARK_GRAFT_BENCH_OPS", "1") == "0":
         op_names = []
