@@ -71,3 +71,41 @@ def read_csv_with_idx(
             *[c for c in df.columns if c not in ("_mono", "_split")], "row_idx"
         )
     )
+
+
+#: suffix marking a slice file as checked/consumed — the reference's
+#: CSV-dir handoff protocol (FileUtils.renameTo appends ".check",
+#: datachecker-common/.../FileUtils.java:194-203; renamed on check
+#: completion by SliceCheckResultManager.java:197-206 and on skip by
+#: SliceDispatcher.java:183-185)
+CONSUMED_SUFFIX = ".check"
+
+
+def list_unconsumed_csv(spark: SparkSession, dir_path: str) -> list[str]:
+    """Names of .csv slice files in ``dir_path`` not yet marked
+    consumed — the re-dispatch set after a restart.  Hadoop-FS listing
+    so remote (hdfs://, s3a://) slice dirs behave like local ones."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(dir_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name.endswith(".csv") and not name.endswith(CONSUMED_SUFFIX):
+            out.append(name)
+    return sorted(out)
+
+
+def mark_csv_consumed(
+    spark: SparkSession, dir_path: str, file_name: str
+) -> bool:
+    """Rename ``file_name`` → ``file_name + '.check'`` in ``dir_path``
+    (idempotent: already-consumed or missing files return False, the
+    reference's renameTo contract)."""
+    jvm = spark._jvm
+    src = jvm.org.apache.hadoop.fs.Path(dir_path, file_name)
+    dst = jvm.org.apache.hadoop.fs.Path(dir_path, file_name + CONSUMED_SUFFIX)
+    fs = src.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(src)) and bool(fs.rename(src, dst))
