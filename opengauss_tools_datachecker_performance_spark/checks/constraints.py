@@ -226,3 +226,41 @@ def pk_gaps(df: DataFrame, key_col: str, n_buckets: int = 256) -> DataFrame:
         "gap_end",
         (F.col("gap_end") - F.col("gap_start") + 1).alias("gap_len"),
     )
+
+
+def json_field_audit(
+    df: DataFrame, col: str, field: str, field_type: str = "int"
+) -> DataFrame:
+    """Schema-on-read JSON audit of a string column carrying JSON
+    objects → ONE row: (n_rows, n_null_raw, n_malformed,
+    n_missing_field, n_with_field, min_val, max_val, sum_val).
+
+    ``n_malformed`` counts non-NULL strings ``from_json`` cannot parse
+    (surfaced through the PERMISSIVE corrupt-record column — a
+    malformed row yields a struct of NULL fields, NOT a NULL struct,
+    so ``parsed.isNull()`` alone cannot see it); ``n_missing_field``
+    counts parseable objects where ``field`` is absent or not
+    coercible to ``field_type`` — matching the DuckDB oracle's
+    json_valid / TRY_CAST(json_extract) split.  Single scan, single
+    partial aggregate."""
+    raw = F.col(col)
+    parsed = F.from_json(
+        raw,
+        f"{field} {field_type}, _corrupt string",
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+    )
+    val = parsed[field]
+    malformed = raw.isNotNull() & parsed["_corrupt"].isNotNull()
+    missing = raw.isNotNull() & ~malformed & val.isNull()
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(raw.isNull(), 1).otherwise(0)).cast("long").alias("n_null_raw"),
+        F.sum(F.when(malformed, 1).otherwise(0)).cast("long").alias("n_malformed"),
+        F.sum(F.when(missing, 1).otherwise(0)).cast("long").alias("n_missing_field"),
+        F.sum(F.when(val.isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_with_field"),
+        F.min(val).alias("min_val"),
+        F.max(val).alias("max_val"),
+        F.sum(val).cast("long").alias("sum_val"),
+    )

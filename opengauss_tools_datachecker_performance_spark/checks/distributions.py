@@ -114,3 +114,43 @@ def mad_outliers(
         df.filter(F.abs(x - F.lit(float(med))) / F.lit(scale) > F.lit(float(k)))
         .select(F.col(key_col).cast("string").alias("key"), x.alias("value"))
     )
+
+
+def equiwidth_histogram(
+    df: DataFrame, col: str, n_bins: int = 20
+) -> DataFrame:
+    """Equi-width histogram → (bin, bin_lo, bin_hi, n): ``n_bins``
+    equal-width buckets spanning [min, max]; the max value lands in
+    the last bin.  Empty bins are omitted (join against a bin spine if
+    a dense axis is needed).  One min/max pass + one partial
+    aggregate; bin edges emitted as 6-dp decimal strings so both
+    engines hash identically.  Degenerate (all-equal or all-NULL)
+    inputs produce a single bin / empty result."""
+    x = F.col(col).cast("double")
+    mm = df.agg(F.min(x).alias("lo"), F.max(x).alias("hi")).collect()[0]
+    if mm["lo"] is None:
+        return df.sparkSession.createDataFrame(
+            [], "bin int, bin_lo string, bin_hi string, n long"
+        )
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    if hi == lo:
+        return df.filter(x.isNotNull()).agg(
+            F.lit(0).alias("bin"),
+            _dec(F.lit(lo)).alias("bin_lo"),
+            _dec(F.lit(hi)).alias("bin_hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    width = (hi - lo) / n_bins
+    b = F.least(F.lit(n_bins - 1), F.floor((x - F.lit(lo)) / F.lit(width)).cast("int"))
+    return (
+        df.filter(x.isNotNull())
+        .select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            _dec(F.lit(lo) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+            _dec(F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("bin_hi"),
+            "n",
+        )
+    )

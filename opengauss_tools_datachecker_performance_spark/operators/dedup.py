@@ -598,6 +598,53 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    max_shingle_freq: int = 100,
+    coverage_out: dict | None = None,
+) -> DataFrame:
+    """ASYMMETRIC shingle containment |A∩B| / |A| ≥ threshold →
+    (doc_id, container_id, containment): documents mostly CONTAINED in
+    another document.  A short doc pasted into a long one scores low
+    Jaccard (union dominated by the long doc) but containment ≈ 1 —
+    this is the near-superset detector quote/boilerplate removal needs
+    alongside :func:`ngram_jaccard_pairs`.
+
+    Same inverted-index scale shape as the Jaccard path: distinct
+    shingles, stop-shingles above ``max_shingle_freq`` anti-joined out
+    (broadcast the few bad ones), pair counts via one shingle
+    equi-join.  Output is directional (both (a,b) and (b,a) can
+    appear); self-pairs excluded."""
+    sh = shingle_rows(df, id_col, text_col, shingle_k, distinct=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    freq_bad = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f")).filter(
+        F.col("f") > max_shingle_freq
+    )
+    if coverage_out is not None:
+        coverage_out["containment_dropped_stop_shingles"] = freq_bad
+    sh2 = sh.join(F.broadcast(freq_bad.select("sh")), "sh", "left_anti")
+    a = sh2.withColumnRenamed("doc_id", "doc_id")
+    b = sh2.withColumnRenamed("doc_id", "container_id")
+    shared = (
+        a.join(b, "sh")
+        .filter(F.col("doc_id") != F.col("container_id"))
+        .groupBy("doc_id", "container_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = shared.join(sizes, "doc_id").select(
+        "doc_id",
+        "container_id",
+        (F.col("shared").cast("double") / F.col("n_sh").cast("double")).alias(
+            "containment"
+        ),
+    )
+    return out.filter(F.col("containment") >= threshold)
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     id_col: str = "vec_id",

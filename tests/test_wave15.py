@@ -296,3 +296,70 @@ def test_interval_count_boundaries_and_empty(spark):
         for r in interval_count_bucketed(points, intervals, "ts").collect()
     }
     assert got == {"iv1": 2, "iv2": 0}
+
+
+# --- wave 16 ----------------------------------------------------------
+
+
+def test_json_field_audit_classification(spark):
+    from opengauss_tools_datachecker_performance_spark.checks.constraints import (
+        json_field_audit,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ('{"k": 5}',),     # with field
+            ('{"k": 7}',),     # with field
+            ('{"other": 1}',), # valid, field missing
+            ('{"k":',),        # malformed
+            (None,),           # null raw
+        ],
+        "props string",
+    )
+    [r] = json_field_audit(df, "props", "k", "int").collect()
+    assert (r.n_rows, r.n_null_raw, r.n_malformed, r.n_missing_field) == (
+        5, 1, 1, 1,
+    )
+    assert (r.n_with_field, r.min_val, r.max_val, r.sum_val) == (2, 5, 7, 12)
+
+
+def test_containment_asymmetry(spark):
+    from opengauss_tools_datachecker_performance_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    long_text = " ".join(f"w{i} w{i+1} token{i}" for i in range(12))
+    prefix = " ".join(long_text.split()[:10])
+    docs = spark.createDataFrame(
+        [("big", long_text), ("small", prefix), ("other", "entirely different words here now")],
+        "doc_id string, text string",
+    )
+    got = {
+        (r.doc_id, r.container_id): r.containment
+        for r in containment_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    # the prefix doc is fully contained in the big doc...
+    assert got.get(("small", "big")) == 1.0
+    # ...but NOT vice versa (asymmetry), and the unrelated doc is absent
+    assert ("big", "small") not in got
+    assert not any("other" in k for k in got)
+
+
+def test_equiwidth_histogram_edges(spark):
+    from opengauss_tools_datachecker_performance_spark.checks.distributions import (
+        equiwidth_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(0.0,), (5.0,), (9.99,), (10.0,), (None,)], "x double"
+    )
+    rows = {r.bin: r for r in equiwidth_histogram(df, "x", n_bins=10).collect()}
+    # max value clamps into the LAST bin, not an 11th
+    assert max(rows) == 9 and rows[9].n == 2  # 9.99 and 10.0
+    assert rows[0].n == 1 and rows[5].n == 1
+    # degenerate: all values equal -> one bin carrying the count
+    same = spark.createDataFrame([(3.0,), (3.0,)], "x double")
+    [one] = equiwidth_histogram(same, "x").collect()
+    assert one.bin == 0 and one.n == 2
+    empty = spark.createDataFrame([], "x double")
+    assert equiwidth_histogram(empty, "x").count() == 0
