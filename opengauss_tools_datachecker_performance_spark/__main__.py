@@ -241,6 +241,56 @@ def build_parser() -> argparse.ArgumentParser:
              "snapshot_rollup.parquet; with --source-companion both "
              "sides are body-free",
     )
+    p.add_argument(
+        "--audit-table", default=None, metavar="TABLE",
+        help="run the single-table contract checks (checks/constraints"
+             ".py + checks/distributions.py) over this table (parquet "
+             "path, table:name, or iceberg:db.tbl) — independent of the "
+             "docs validation; results land in --report-dir as "
+             "audit_*.parquet + a table_audit summary section",
+    )
+    p.add_argument(
+        "--audit-fd", action="append", default=[], metavar="LHS=RHS",
+        help="functional dependency to audit, e.g. 'cust_id=priority' "
+             "or 'a+b=c+d' (repeatable) → audit_fd_<lhs>.parquet of "
+             "violating groups",
+    )
+    p.add_argument(
+        "--audit-domain", action="append", default=[], metavar="COL=V1|V2",
+        help="allowed value set per column, e.g. \"status=O|F|P\" "
+             "(repeatable); requires --audit-key",
+    )
+    p.add_argument(
+        "--audit-complete", default=None, metavar="COL1,COL2[:MIN]",
+        help="completeness verdicts for these columns (optional "
+             "min-ratio suffix, default 0.95)",
+    )
+    p.add_argument(
+        "--audit-json", default=None, metavar="COL:FIELD[:TYPE]",
+        help="schema-on-read JSON audit of a string column (default "
+             "field type int)",
+    )
+    p.add_argument(
+        "--audit-benford", default=None, metavar="COL",
+        help="Benford first-digit profile of a numeric column",
+    )
+    p.add_argument(
+        "--audit-histogram", default=None, metavar="COL[:BINS]",
+        help="equi-width histogram of a numeric column (default 20 bins)",
+    )
+    p.add_argument(
+        "--audit-outliers", default=None, metavar="KEY:COL[:K]",
+        help="median/MAD robust outliers of COL keyed by KEY "
+             "(default k=3.5)",
+    )
+    p.add_argument(
+        "--audit-pk-gaps", default=None, metavar="KEYCOL",
+        help="dense-key gap scan over an integer key column",
+    )
+    p.add_argument(
+        "--audit-key", default=None, metavar="KEYCOL",
+        help="row-locator column for --audit-domain violation keys",
+    )
     p.add_argument("--run-id", default=None)
     p.add_argument("--master", default=None, help="override master (default: spark-submit / env)")
     return p
@@ -501,6 +551,98 @@ def _run_interleaved_audit(spark: SparkSession, args) -> dict | None:
         # live in offset_integrity.parquet
         "n_offset_violation_docs": n_off_docs,
     }
+
+
+def _run_table_audit(spark: SparkSession, args) -> dict | None:
+    """Run the --audit-table single-table contract checks (if
+    requested). Same placement contract as _run_decontamination:
+    outside the wave loop so every summary-writing exit path honors
+    it. Each requested family writes its own audit_*.parquet under
+    --report-dir; the returned section carries row counts so a
+    summary reader sees at a glance which rules fired."""
+    if not args.audit_table:
+        return None
+    from opengauss_tools_datachecker_performance_spark.checks.constraints import (
+        completeness,
+        domain_violations,
+        fd_violations,
+        json_field_audit,
+        pk_gaps,
+    )
+    from opengauss_tools_datachecker_performance_spark.checks.distributions import (
+        benford_profile,
+        equiwidth_histogram,
+        mad_outliers,
+    )
+    from opengauss_tools_datachecker_performance_spark.sources.table_io import (
+        load_table,
+    )
+
+    t = load_table(spark, args.audit_table)
+    section: dict = {"table": args.audit_table}
+
+    def _write(df, name: str) -> int:
+        path = os.path.join(args.report_dir, f"{name}.parquet")
+        df.write.mode("overwrite").parquet(path)
+        n = spark.read.parquet(path).count()
+        print(f"[table-audit] {name}: {n} rows → {path}")
+        return n
+
+    for spec in args.audit_fd:
+        lhs, _, rhs = spec.partition("=")
+        if not rhs:
+            raise SystemExit(f"--audit-fd needs LHS=RHS, got {spec!r}")
+        lhs_cols, rhs_cols = lhs.split("+"), rhs.split("+")
+        n = _write(
+            fd_violations(t, lhs_cols, rhs_cols), f"audit_fd_{'_'.join(lhs_cols)}"
+        )
+        section[f"fd_{lhs}"] = n
+    for spec in args.audit_domain:
+        col, _, vals = spec.partition("=")
+        if not vals or not args.audit_key:
+            raise SystemExit(
+                "--audit-domain needs COL=V1|V2 and --audit-key"
+            )
+        n = _write(
+            domain_violations(t, col, vals.split("|"), args.audit_key),
+            f"audit_domain_{col}",
+        )
+        section[f"domain_{col}"] = n
+    if args.audit_complete:
+        cols_part, _, ratio = args.audit_complete.partition(":")
+        n = _write(
+            completeness(
+                t, cols_part.split(","), float(ratio) if ratio else 0.95
+            ),
+            "audit_completeness",
+        )
+        section["completeness_cols"] = n
+    if args.audit_json:
+        parts = args.audit_json.split(":")
+        col, field = parts[0], parts[1]
+        ftype = parts[2] if len(parts) > 2 else "int"
+        _write(json_field_audit(t, col, field, ftype), "audit_json")
+        section["json_col"] = col
+    if args.audit_benford:
+        n = _write(benford_profile(t, args.audit_benford), "audit_benford")
+        section["benford_digits"] = n
+    if args.audit_histogram:
+        col, _, bins = args.audit_histogram.partition(":")
+        n = _write(
+            equiwidth_histogram(t, col, int(bins) if bins else 20),
+            "audit_histogram",
+        )
+        section["histogram_bins"] = n
+    if args.audit_outliers:
+        parts = args.audit_outliers.split(":")
+        key, col = parts[0], parts[1]
+        k = float(parts[2]) if len(parts) > 2 else 3.5
+        n = _write(mad_outliers(t, key, col, k=k), "audit_outliers")
+        section["n_outliers"] = n
+    if args.audit_pk_gaps:
+        n = _write(pk_gaps(t, args.audit_pk_gaps), "audit_pk_gaps")
+        section["n_pk_gaps"] = n
+    return section
 
 
 def _run_snapshot_delta(
@@ -941,6 +1083,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             cstats_section = _run_corpus_stats(spark, args)
             inter_section = _run_interleaved_audit(spark, args)
             snap_section = _run_snapshot_delta(spark, args)
+            taudit_section = _run_table_audit(spark, args)
             try:
                 # refresh the summary over frames a previous (killed)
                 # run already wrote into THIS report dir, if any —
@@ -959,6 +1102,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                     corpus_stats=cstats_section,
                     interleaved_audit=inter_section,
                     snapshot_delta=snap_section,
+                    table_audit=taudit_section,
                 )
             except Exception:
                 pass
@@ -1269,6 +1413,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     cstats_section = _run_corpus_stats(spark, args)
     inter_section = _run_interleaved_audit(spark, args)
     snap_section = _run_snapshot_delta(spark, args, new_digests=snap_digests)
+    taudit_section = _run_table_audit(spark, args)
     if snap_digests is not None:
         snap_digests.unpersist()
     summary = summarize_dir(
@@ -1284,6 +1429,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         corpus_stats=cstats_section,
         interleaved_audit=inter_section,
         snapshot_delta=snap_section,
+        table_audit=taudit_section,
     )
     ok = summary["result"] == "success"
     print(f"[validate] run={run_id} result={summary['result']}")

@@ -73,6 +73,7 @@ def summarize_dir(
     corpus_stats: dict | None = None,
     interleaved_audit: dict | None = None,
     snapshot_delta: dict | None = None,
+    table_audit: dict | None = None,
 ) -> dict:
     """Build summary.json + success/failed logs from the written
     frames (covers every chunk written so far, including those from a
@@ -147,6 +148,8 @@ def summarize_dir(
         summary["interleaved_audit"] = dict(interleaved_audit)
     if snapshot_delta:
         summary["snapshot_delta"] = dict(snapshot_delta)
+    if table_audit:
+        summary["table_audit"] = dict(table_audit)
     if baseline_dir is not None:
         prev, _ = _read_frames(spark, baseline_dir)
         reg = run_regression(violations, prev).persist()

@@ -435,3 +435,53 @@ def test_cli_interleaved_audit_and_snapshot_delta(spark, tmp_path):
     summary2 = json.load(open(os.path.join(report, "summary.json")))
     assert "interleaved_audit" not in summary2
     assert "snapshot_delta" not in summary2
+
+
+def test_cli_table_audit(spark, tmp_path):
+    """--audit-table runs the single-table contract checks over an
+    arbitrary table (independent of docs validation) and lands both
+    the audit_*.parquet frames and a table_audit summary section."""
+    # build a small orders-like table with planted rule violations
+    tbl = str(tmp_path / "orders_like")
+    rows = [
+        (i, i % 40, "O" if i % 7 else "X", float(100 + i), '{"k": %d}' % i)
+        for i in range(300)
+        if i != 150  # pk gap
+    ]
+    spark.createDataFrame(
+        rows, "ok long, cust long, status string, price double, props string"
+    ).write.mode("overwrite").parquet(tbl)
+    corpus = _setup(spark, tmp_path)
+    report = str(tmp_path / "audit_report")
+    rc = main(
+        [
+            "--source", f"{corpus}/docs_source.parquet",
+            "--report-dir", report,
+            "--audit-table", tbl,
+            "--audit-domain", "status=O|F|P",
+            "--audit-key", "ok",
+            "--audit-fd", "cust=status",
+            "--audit-complete", "status,props:0.5",
+            "--audit-json", "props:k",
+            "--audit-benford", "price",
+            "--audit-histogram", "price:10",
+            "--audit-pk-gaps", "ok",
+        ],
+        spark=spark,
+    )
+    assert rc in (0, 1)
+    summary = json.load(open(os.path.join(report, "summary.json")))
+    sec = summary["table_audit"]
+    assert sec["table"] == tbl
+    assert sec["domain_status"] > 0  # planted 'X' rows
+    assert sec["n_pk_gaps"] == 1  # the missing key 150
+    for frame in (
+        "audit_domain_status",
+        "audit_fd_cust",
+        "audit_completeness",
+        "audit_json",
+        "audit_benford",
+        "audit_histogram",
+        "audit_pk_gaps",
+    ):
+        assert os.path.exists(os.path.join(report, f"{frame}.parquet")), frame
