@@ -90,12 +90,16 @@ def sessionize(
     # gap compared in integer microseconds — exact, no float-seconds
     # boundary ambiguity at the threshold
     gap_us = int(round(gap_minutes * 60.0 * 1_000_000))
-    # NTZ inputs cast through timestamp (session TZ pinned UTC) so
-    # unix_micros resolves; TZ inputs pass through unchanged
-    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
     prev = F.lag(ts_col).over(w)
+    # timestamp_diff is exact integer microseconds AND type-agnostic:
+    # NTZ gaps never route through a session-timezone cast, so the
+    # result is identical whatever TZ the driver session pins
     is_new = F.when(
-        prev.isNull() | (us(F.col(ts_col)) - us(prev) > F.lit(gap_us)),
+        prev.isNull()
+        | (
+            F.timestamp_diff("MICROSECOND", prev, F.col(ts_col))
+            > F.lit(gap_us)
+        ),
         1,
     ).otherwise(0)
     numbered = events.withColumn("_new", is_new).withColumn(
