@@ -234,6 +234,15 @@ def main() -> None:
         "as_of_join",
         "sessionize",
         "range_join_count",
+        # wave 16/17: operational validation
+        "json_props_audit",
+        "containment_pairs",
+        "equiwidth_histogram",
+        "rate_anomaly",
+        "join_explosion_audit",
+        "group_quantile_profile",
+        "cluster_size_histogram",
+        "dedup_rate_report",
     ]
     if os.environ.get("SPARK_GRAFT_BENCH_OPS", "1") == "0":
         op_names = []

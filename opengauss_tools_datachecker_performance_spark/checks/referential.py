@@ -83,3 +83,24 @@ def asset_usage(docs: DataFrame, assets: DataFrame) -> DataFrame:
         F.col("_cat").isNotNull().alias("in_catalog"),
         status.alias("status"),
     )
+
+
+def childless_parents(
+    parents: DataFrame,
+    children: DataFrame,
+    key_cols: list[str],
+    parent_key_cols: list[str] | None = None,
+) -> DataFrame:
+    """1:N cardinality check: parent rows with ZERO child rows →
+    the parent key columns of every childless parent.
+
+    The dual of the dangling-reference check (child → missing parent):
+    here the PARENT side owes at least one child (every order must
+    have a lineitem, every doc at least one span row, ...).  One
+    left-anti join on the distinct child keys — the child side
+    collapses map-side before shuffling."""
+    pk = parent_key_cols or key_cols
+    ck = children.select(
+        *[F.col(c).alias(p) for c, p in zip(key_cols, pk)]
+    ).distinct()
+    return parents.join(ck, pk, "left_anti").select(*pk)

@@ -88,3 +88,26 @@ def span_null_text_violations(docs: DataFrame) -> DataFrame:
     return with_idx.filter(
         (F.col("span.kind") == "text") & F.col("span.text").isNull()
     ).select("key", F.lit("null_text").alias("constraint"), "span_idx", *carry)
+
+
+def group_quantile_profile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Per-group EXACT quantiles → (group, q50, q95, q99, n) — the
+    SLA-profile shape (latency percentiles per endpoint, value
+    percentiles per event type).  One hash aggregate: ``percentile``
+    is an exact aggregate whose state is the group's value multiset —
+    fine for bounded groups; at unbounded-group scale swap in
+    ``percentile_approx`` (mergeable sketch, same call shape)."""
+    agg_exprs = [
+        F.expr(f"percentile({value_col}, {q!r})").alias(
+            f"q{str(q).replace('0.', '')}"
+        )
+        for q in quantiles
+    ]
+    return df.groupBy(F.col(group_col).alias("group")).agg(
+        *agg_exprs, F.count(F.lit(1)).alias("n")
+    )

@@ -179,3 +179,17 @@ def dedup_survivors(
             (-F.col("_best.neg_len")).cast("long").alias("survivor_len"),
         )
     )
+
+
+def cluster_size_histogram(labels: DataFrame) -> DataFrame:
+    """Cluster-size distribution of a components labeling →
+    (cluster_size, n_clusters): how many near-dup clusters have 2
+    members, 3 members, ... — the shape dedup reports lead with.
+    Two partial aggregates (size per component, then count per size);
+    no per-cluster member arrays anywhere."""
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )

@@ -827,3 +827,48 @@ def embedding_near_duplicates_ivf(
             F.col("nrm_a") * F.col("nrm_b"),
         ).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= threshold)
+
+
+def dedup_rate_by_group(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group exact-duplicate rate → (group, n_docs, n_dup_docs,
+    n_groups_with_dups, dup_rate): the headline numbers of a dedup
+    report (which source is flooding the corpus with copies?).
+
+    ``n_dup_docs`` counts REMOVABLE copies (group size - 1 summed over
+    the group's duplicate fingerprints WITHIN that group).  Fingerprint
+    counting is a two-level aggregate — (group, fingerprint) partial
+    first — so a boilerplate fingerprint hot across the corpus never
+    concentrates in one task."""
+    fp = df.select(
+        F.col(group_col).alias("group"),
+        F.col(id_col).cast("string").alias("doc_id"),
+        fingerprint(F.col(text_col)).alias("fingerprint"),
+    )
+    per_fp = fp.groupBy(
+        "group", F.coalesce("fingerprint", F.lit("\x00null")).alias("_fpk")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        per_fp.groupBy("group")
+        .agg(
+            F.sum("_n").alias("n_docs"),
+            F.sum(F.col("_n") - 1).alias("n_dup_docs"),
+            F.sum(F.when(F.col("_n") > 1, 1).otherwise(0)).alias(
+                "n_groups_with_dups"
+            ),
+        )
+        .select(
+            "group",
+            "n_docs",
+            "n_dup_docs",
+            "n_groups_with_dups",
+            F.round(F.col("n_dup_docs") / F.col("n_docs"), 6)
+            .cast("decimal(10,6)")
+            .cast("string")
+            .alias("dup_rate"),
+        )
+    )

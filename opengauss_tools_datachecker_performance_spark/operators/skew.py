@@ -244,3 +244,31 @@ def global_rank_cumsum(
         .withColumn(cum_name, (F.col("_lcs") + F.col("_soff")).cast("long"))
         .drop("_b", "_lrn", "_lcs", "_off", "_soff")
     )
+
+
+def join_explosion_audit(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    top_k: int = 20,
+    min_product: int = 1,
+) -> DataFrame:
+    """Join-cardinality pre-flight → the ``top_k`` keys by output
+    fan-out (n_left × n_right), with both side counts.  Run this
+    BEFORE a big join: one hot key with 10^5 rows on each side emits
+    10^10 output rows and takes the stage down — this audit costs two
+    partial-aggregate passes and an inner join of the (distinct-key)
+    count frames, nothing near the join itself.
+
+    The top-k is a TakeOrdered over the joined count frame (bounded
+    driver transfer), not a global sort."""
+    lc = left.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_left"))
+    rc = right.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_right"))
+    j = lc.join(rc, key_cols).withColumn(
+        "n_out", F.col("n_left") * F.col("n_right")
+    )
+    return (
+        j.filter(F.col("n_out") >= min_product)
+        .orderBy(F.col("n_out").desc(), *[F.col(c) for c in key_cols])
+        .limit(top_k)
+    )

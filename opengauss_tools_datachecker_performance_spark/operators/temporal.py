@@ -163,3 +163,67 @@ def interval_count_bucketed(
         .join(hits, id_col, "left")
         .select(id_col, F.coalesce("n_points", F.lit(0)).alias("n_points"))
     )
+
+
+def rate_anomaly(
+    events: DataFrame,
+    ts_col: str,
+    group_col: str,
+    window_minutes: int = 60,
+    trailing: int = 24,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Windowed event-rate anomaly detection → (group, window_start,
+    n_events, trailing_mean, z, anomalous): tumbling ``window_minutes``
+    counts per group, each compared against the mean/stddev of the
+    ``trailing`` PRECEDING windows of the same group (rows-frame
+    window, partitioned by group — never a global sort).
+
+    Empty windows are materialized via a per-group dense window spine
+    (sequence over the group's [min,max] bucket range) so a traffic
+    OUTAGE scores as anomalous instead of silently vanishing — the
+    classic gap in naive groupBy-count anomaly checks.  Windows with
+    fewer than 2 trailing samples report z NULL and no verdict; a
+    ZERO-VARIANCE baseline reports z NULL but still flags any
+    deviation from the constant rate (an outage against a perfectly
+    steady baseline is the most anomalous case, not an undefined
+    one)."""
+    from pyspark.sql.window import Window
+
+    bucket_s = window_minutes * 60
+    sec = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    b = events.select(
+        F.col(group_col).alias("group"),
+        (sec(F.col(ts_col)) / bucket_s).cast("long").alias("_bk"),
+    )
+    counts = b.groupBy("group", "_bk").agg(F.count(F.lit(1)).alias("n_events"))
+    spine = (
+        counts.groupBy("group")
+        .agg(F.min("_bk").alias("_lo"), F.max("_bk").alias("_hi"))
+        .select("group", F.explode(F.sequence("_lo", "_hi")).alias("_bk"))
+    )
+    dense = spine.join(counts, ["group", "_bk"], "left").select(
+        "group", "_bk", F.coalesce("n_events", F.lit(0)).alias("n_events")
+    )
+    w = (
+        Window.partitionBy("group")
+        .orderBy("_bk")
+        .rowsBetween(-trailing, -1)
+    )
+    mean = F.avg("n_events").over(w)
+    sd = F.stddev_samp("n_events").over(w)
+    cnt = F.count("n_events").over(w)
+    z = F.when(
+        (cnt >= 2) & (sd > 0), (F.col("n_events") - mean) / sd
+    )
+    anomalous = F.when(
+        (cnt >= 2) & (sd > 0), F.abs(z) > z_threshold
+    ).when((cnt >= 2) & (sd == 0), F.col("n_events") != mean)
+    return dense.select(
+        "group",
+        F.timestamp_seconds(F.col("_bk") * bucket_s).alias("window_start"),
+        "n_events",
+        mean.alias("trailing_mean"),
+        z.alias("z"),
+        anomalous.alias("anomalous"),
+    )

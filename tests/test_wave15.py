@@ -363,3 +363,100 @@ def test_equiwidth_histogram_edges(spark):
     assert one.bin == 0 and one.n == 2
     empty = spark.createDataFrame([], "x double")
     assert equiwidth_histogram(empty, "x").count() == 0
+
+
+# --- wave 17 ----------------------------------------------------------
+
+
+def test_rate_anomaly_dense_spine_flags_outage(spark):
+    from opengauss_tools_datachecker_performance_spark.operators.temporal import (
+        rate_anomaly,
+    )
+
+    base = _ts("2024-01-01T00:00:00")
+    rows = []
+    # steady 10 events/hour for 30 hours, except hour 27 is an OUTAGE
+    # (zero events — no row at all) and hour 28 is a 10x burst
+    for h in range(30):
+        n = 0 if h == 27 else (100 if h == 28 else 10)
+        for i in range(n):
+            rows.append(("svc", base + datetime.timedelta(hours=h, seconds=i)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {
+        r.window_start.hour + 24 * (r.window_start.day - 1): r
+        for r in rate_anomaly(df, "ts", "event_type", 60, 24, 3.0).collect()
+    }
+    assert len(out) == 30  # dense spine: the empty hour 27 EXISTS
+    assert out[27].n_events == 0 and out[27].anomalous is True
+    assert out[28].anomalous is True
+    assert out[10].anomalous is False  # steady hour
+
+
+def test_join_explosion_audit_ranks_fanout(spark):
+    from opengauss_tools_datachecker_performance_spark.operators.skew import (
+        join_explosion_audit,
+    )
+
+    left = spark.createDataFrame(
+        [("hot",)] * 100 + [("warm",)] * 10 + [("cold",)], "k string"
+    )
+    right = spark.createDataFrame(
+        [("hot",)] * 50 + [("warm",)] * 5 + [("never",)], "k string"
+    )
+    rows = join_explosion_audit(left, right, ["k"], top_k=5).collect()
+    assert [r.k for r in rows] == ["hot", "warm"]  # 'cold'/'never' never meet
+    assert rows[0].n_out == 5000 and rows[1].n_out == 50
+
+
+def test_childless_parents_basic(spark):
+    from opengauss_tools_datachecker_performance_spark.checks.referential import (
+        childless_parents,
+    )
+
+    parents = spark.createDataFrame([(1,), (2,), (3,)], "pid long")
+    children = spark.createDataFrame([(1,), (1,), (3,)], "parent_id long")
+    got = {
+        r.pid
+        for r in childless_parents(
+            parents, children, ["parent_id"], parent_key_cols=["pid"]
+        ).collect()
+    }
+    assert got == {2}
+
+
+def test_cluster_size_histogram_counts(spark):
+    from opengauss_tools_datachecker_performance_spark.operators.components import (
+        cluster_size_histogram,
+    )
+
+    labels = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1"), ("c", "c2"), ("d", "c2"), ("e", "c2"),
+         ("f", "c3"), ("g", "c3")],
+        "id string, component string",
+    )
+    got = {
+        r.cluster_size: r.n_clusters
+        for r in cluster_size_histogram(labels).collect()
+    }
+    assert got == {2: 2, 3: 1}
+
+
+def test_dedup_rate_by_group_counts_removable(spark):
+    from opengauss_tools_datachecker_performance_spark.operators.dedup import (
+        dedup_rate_by_group,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("s1", "1", "same"), ("s1", "2", "same"), ("s1", "3", "same"),
+            ("s1", "4", "unique"),
+            ("s2", "5", "x"), ("s2", "6", "y"),
+        ],
+        "source string, doc_id string, text string",
+    )
+    got = {
+        r.group: (r.n_docs, r.n_dup_docs, r.n_groups_with_dups, r.dup_rate)
+        for r in dedup_rate_by_group(docs, "doc_id", "text", "source").collect()
+    }
+    assert got["s1"] == (4, 2, 1, "0.500000")
+    assert got["s2"] == (2, 0, 0, "0.000000")
