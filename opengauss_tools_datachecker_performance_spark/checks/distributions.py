@@ -8,7 +8,6 @@ through fixed-scale decimals so DuckDB oracles hash identically.
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
