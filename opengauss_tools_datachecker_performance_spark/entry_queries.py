@@ -1095,6 +1095,7 @@ from opengauss_tools_datachecker_performance_spark import entry_queries_wave14  
 from opengauss_tools_datachecker_performance_spark import entry_queries_wave15  # noqa: E402,F401
 from opengauss_tools_datachecker_performance_spark import entry_queries_wave16  # noqa: E402,F401
 from opengauss_tools_datachecker_performance_spark import entry_queries_wave17  # noqa: E402,F401
+from opengauss_tools_datachecker_performance_spark import entry_queries_wave18  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # driver sampling order

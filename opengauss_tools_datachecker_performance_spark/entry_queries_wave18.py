@@ -1,0 +1,57 @@
+"""Driver-contract query catalog, wave 18: persisted ANN index.
+
+* ``ann_index_query`` — operators/ann_index.py: the corpus is split
+  into a base build plus an incrementally ingested batch (assigned
+  against the STORED centroids, no retrain, no corpus re-read), then
+  queried.  Because the index is a physical layout of exactly the
+  ivf_ann_topk semantics, the oracle is wave-7's ``ann_ivf`` SQL
+  VERBATIM — the strongest possible statement that indexing changed
+  nothing but the storage shape.  (The heldout batch excludes the 16
+  lowest ids, so the base's lowest-id centroids equal the full
+  corpus's.)  Disk round-trip + idempotent batch replay are pinned in
+  tests/test_ann_index.py; the catalog entry runs the frame-level
+  path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opengauss_tools_datachecker_performance_spark.entry_queries import _t, query
+from opengauss_tools_datachecker_performance_spark.entry_queries_wave7 import (
+    _ANN_IVF_SQL,
+)
+
+
+@query("ann_index_query", _ANN_IVF_SQL)
+def q_ann_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF-index query (operators/ann_index.py): build from
+    the base split, ingest the heldout batch against stored centroids,
+    probe — results must equal the unindexed ann_ivf run bit-for-bit
+    (same oracle SQL)."""
+    from opengauss_tools_datachecker_performance_spark.operators.ann_index import (
+        ivf_index_frames,
+        ivf_index_topk,
+    )
+    from opengauss_tools_datachecker_performance_spark.operators.similarity import (
+        _qz,
+        ivf_assign,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    heldout = (F.col("vec_id") % 10 == 7) & (F.col("vec_id") >= 100)
+    base, batch = emb.filter(~heldout), emb.filter(heldout)
+    cent, vectors = ivf_index_frames(base)
+    # incremental ingest: assign the batch against the EXISTING
+    # centroids (frame-level twin of add_batch_to_ivf_index)
+    b = batch.select(
+        F.col("vec_id").cast("long").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    ).withColumn("vi", _qz(F.col("cv"), 1_000_000.0))
+    batch_vectors = ivf_assign(b, cent, "neighbor_id", 1).select(
+        "neighbor_id", "cell", "cv"
+    )
+    all_vectors = vectors.unionByName(batch_vectors)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_index_topk(cent, all_vectors, queries, k=5, nprobe=2)

@@ -46,6 +46,9 @@ ALLOW_BNLJ = {
     "tfidf_top_terms",
     # shares ann_ivf's broadcast-centroid assignment pass
     "semantic_decontaminate",
+    # the persisted-index twin of ann_ivf: same ≤16-row centroid
+    # broadcast in the assignment/probe passes
+    "ann_index_query",
     # broadcast 16-row PQ codebook into the encode/LUT passes (same
     # shape as ann_ivf's centroid broadcast)
     "ann_ivf_pq",
