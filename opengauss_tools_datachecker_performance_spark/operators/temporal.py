@@ -141,7 +141,12 @@ def interval_count_bucketed(
         F.col(ts_col).alias("_ts"),
         (sec(F.col(ts_col)) / bucket_s).cast("long").alias("_bk"),
     )
-    iv = intervals.select(
+    # an inverted interval (end < start) matches nothing by definition —
+    # keep it OUT of the bucket explode (F.sequence would emit a
+    # DESCENDING bucket range: wasted candidate rows) but IN the final
+    # left join, so it still reports n_points=0 instead of vanishing
+    valid = intervals.filter(F.col(end_col) >= F.col(start_col))
+    iv = valid.select(
         id_col,
         F.col(start_col).alias("_s"),
         F.col(end_col).alias("_e"),

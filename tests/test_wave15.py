@@ -460,3 +460,76 @@ def test_dedup_rate_by_group_counts_removable(spark):
     }
     assert got["s1"] == (4, 2, 1, "0.500000")
     assert got["s2"] == (2, 0, 0, "0.000000")
+
+
+def test_interval_count_inverted_interval_reports_zero(spark):
+    from opengauss_tools_datachecker_performance_spark.operators.temporal import (
+        interval_count_bucketed,
+    )
+
+    s = _ts("2024-01-01T00:00:00")
+    points = spark.createDataFrame([(s,)], "ts timestamp")
+    intervals = spark.createDataFrame(
+        [("ok", s, s), ("inverted", s, _ts("2023-12-31T00:00:00"))],
+        "interval_id string, start_ts timestamp, end_ts timestamp",
+    )
+    got = {
+        r.interval_id: r.n_points
+        for r in interval_count_bucketed(points, intervals, "ts").collect()
+    }
+    # inverted interval stays in the output with 0, never explodes a
+    # descending bucket sequence
+    assert got == {"ok": 1, "inverted": 0}
+
+
+def test_json_field_audit_all_null_column(spark):
+    from opengauss_tools_datachecker_performance_spark.checks.constraints import (
+        json_field_audit,
+    )
+
+    df = spark.createDataFrame([(None,), (None,)], "props string")
+    [r] = json_field_audit(df, "props", "k", "int").collect()
+    assert (r.n_rows, r.n_null_raw, r.n_malformed, r.n_with_field) == (2, 2, 0, 0)
+    assert r.sum_val is None
+
+
+def test_rate_anomaly_single_event(spark):
+    from opengauss_tools_datachecker_performance_spark.operators.temporal import (
+        rate_anomaly,
+    )
+
+    df = spark.createDataFrame(
+        [("t", _ts("2024-01-01T05:30:00"))], "event_type string, ts timestamp"
+    )
+    [r] = rate_anomaly(df, "ts", "event_type").collect()
+    # one window, no trailing history -> no verdict, not a crash
+    assert r.n_events == 1 and r.z is None and r.anomalous is None
+
+
+def test_as_of_join_empty_left(spark):
+    from opengauss_tools_datachecker_performance_spark.operators.temporal import (
+        as_of_join,
+    )
+
+    left = spark.createDataFrame(
+        [], "event_id long, user_id string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-01T00:00:00"), 5.0)],
+        "event_id long, user_id string, ts timestamp, value double",
+    )
+    assert (
+        as_of_join(left, right, "user_id", "ts", ["value"]).count() == 0
+    )
+
+
+def test_containment_single_doc_and_empty(spark):
+    from opengauss_tools_datachecker_performance_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    one = spark.createDataFrame([("a", "just one document here")],
+                                "doc_id string, text string")
+    assert containment_pairs(one, "doc_id", "text").count() == 0
+    empty = spark.createDataFrame([], "doc_id string, text string")
+    assert containment_pairs(empty, "doc_id", "text").count() == 0
