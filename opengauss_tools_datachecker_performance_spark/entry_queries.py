@@ -1130,9 +1130,41 @@ _DRIVER_GREEN_ROUNDS_1_2 = frozenset({
 })
 
 
+def _driver_green_entries() -> frozenset[str]:
+    """Entries with a fully-green driver verdict in ANY recorded round:
+    read live from the repo's CORRECTNESS_r*.json files so the rotation
+    self-updates every round without editing this module.  Falls back
+    to the hardcoded rounds-1/2 set when the files aren't reachable
+    (e.g. a --py-files zip deployed without the repo root)."""
+    import glob
+    import json
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green: set[str] = set(_DRIVER_GREEN_ROUNDS_1_2)
+    try:
+        for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
+            data = json.load(open(path))
+            if not isinstance(data, dict):
+                continue
+            for name, row in data.items():
+                if (
+                    isinstance(row, dict)
+                    and row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match")
+                    and not row.get("err")
+                ):
+                    green.add(name)
+    except Exception:
+        pass  # fall back to the static set — never break registration
+    return frozenset(green)
+
+
 def _reorder_for_driver() -> None:
-    fresh = [k for k in QUERIES if k not in _DRIVER_GREEN_ROUNDS_1_2]
-    seen = [k for k in QUERIES if k in _DRIVER_GREEN_ROUNDS_1_2]
+    seen_set = _driver_green_entries()
+    fresh = [k for k in QUERIES if k not in seen_set]
+    seen = [k for k in QUERIES if k in seen_set]
     order = fresh + seen
     for registry in (QUERIES, ORACLES):
         snap = dict(registry)
