@@ -291,6 +291,19 @@ def build_parser() -> argparse.ArgumentParser:
         "--audit-key", default=None, metavar="KEYCOL",
         help="row-locator column for --audit-domain violation keys",
     )
+    p.add_argument(
+        "--audit-fd-discovery", default=None, metavar="COL1,COL2[,...][:RATE]",
+        help="approximate-FD discovery over every ordered pair of the "
+             "given columns (violation-rate threshold suffix, default "
+             "0.05) → audit_fd_discovery.parquet",
+    )
+    p.add_argument(
+        "--audit-rate", default=None,
+        metavar="TS:GROUP[:WINDOW_MIN[:TRAILING]]",
+        help="event-rate anomaly scan: tumbling WINDOW_MIN-minute "
+             "counts of rows per GROUP column vs the trailing baseline "
+             "(defaults 60 min, 24 windows) → audit_rate_anomaly.parquet",
+    )
     p.add_argument("--run-id", default=None)
     p.add_argument("--master", default=None, help="override master (default: spark-submit / env)")
     return p
@@ -642,6 +655,38 @@ def _run_table_audit(spark: SparkSession, args) -> dict | None:
     if args.audit_pk_gaps:
         n = _write(pk_gaps(t, args.audit_pk_gaps), "audit_pk_gaps")
         section["n_pk_gaps"] = n
+    if args.audit_fd_discovery:
+        from opengauss_tools_datachecker_performance_spark.checks.constraints import (
+            fd_discovery,
+        )
+
+        cols_part, _, rate = args.audit_fd_discovery.partition(":")
+        n = _write(
+            fd_discovery(
+                t, cols_part.split(","), float(rate) if rate else 0.05
+            ),
+            "audit_fd_discovery",
+        )
+        section["fd_pairs_profiled"] = n
+    if args.audit_rate:
+        from opengauss_tools_datachecker_performance_spark.operators.temporal import (
+            rate_anomaly,
+        )
+
+        parts = args.audit_rate.split(":")
+        ts_col, group_col = parts[0], parts[1]
+        window_min = int(parts[2]) if len(parts) > 2 else 60
+        trailing = int(parts[3]) if len(parts) > 3 else 24
+        out = rate_anomaly(t, ts_col, group_col, window_min, trailing)
+        _write(out, "audit_rate_anomaly")
+        n_anom = (
+            spark.read.parquet(
+                os.path.join(args.report_dir, "audit_rate_anomaly.parquet")
+            )
+            .filter(F.col("anomalous"))
+            .count()
+        )
+        section["n_rate_anomalies"] = n_anom
     return section
 
 

@@ -264,3 +264,58 @@ def json_field_audit(
         F.max(val).alias("max_val"),
         F.sum(val).cast("long").alias("sum_val"),
     )
+
+
+def fd_discovery(
+    df: DataFrame, cols: list[str], max_violation_rate: float = 0.05
+) -> DataFrame:
+    """Functional-dependency DISCOVERY (profiling, not checking): for
+    every ordered pair (lhs, rhs) of ``cols``, measure how close
+    lhs → rhs is to holding → (lhs, rhs, n_lhs_groups,
+    n_violating_groups, violation_rate, holds).
+
+    One scan melts each row into its #pairs (pair, lhs_val, rhs_val)
+    tuples; three stacked partial aggregates do the rest (distinct
+    pair-values → per-lhs distinct-rhs counts → per-pair rollup) — the
+    same skew-immune two-phase shape as :func:`fd_violations`, never a
+    COUNT(DISTINCT) expand.  ``holds`` = violation_rate ≤
+    ``max_violation_rate`` — the approximate-FD acceptance used by
+    profilers (exact FDs at 0.0)."""
+    pairs = [(a, b) for a in cols for b in cols if a != b]
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f"{a}->{b}").alias("pair"),
+                        F.col(a).cast("string").alias("lhs_val"),
+                        F.col(b).cast("string").alias("rhs_val"),
+                    )
+                    for a, b in pairs
+                ]
+            )
+        ).alias("p")
+    ).select("p.pair", "p.lhs_val", "p.rhs_val")
+    distinct_pairs = melted.groupBy("pair", "lhs_val", "rhs_val").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    per_lhs = distinct_pairs.groupBy("pair", "lhs_val").agg(
+        F.count(F.lit(1)).alias("_n_rhs")
+    )
+    out = per_lhs.groupBy("pair").agg(
+        F.count(F.lit(1)).alias("n_lhs_groups"),
+        F.sum(F.when(F.col("_n_rhs") > 1, 1).otherwise(0)).alias(
+            "n_violating_groups"
+        ),
+    )
+    rate = F.col("n_violating_groups") / F.col("n_lhs_groups")
+    return out.select(
+        F.substring_index("pair", "->", 1).alias("lhs"),
+        F.substring_index("pair", "->", -1).alias("rhs"),
+        "n_lhs_groups",
+        "n_violating_groups",
+        F.round(rate, 6).cast("decimal(10,6)").cast("string").alias(
+            "violation_rate"
+        ),
+        (rate <= max_violation_rate).alias("holds"),
+    )

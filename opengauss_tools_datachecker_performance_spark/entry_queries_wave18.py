@@ -55,3 +55,44 @@ def q_ann_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_vectors = vectors.unionByName(batch_vectors)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return ivf_index_topk(cent, all_vectors, queries, k=5, nprobe=2)
+
+
+_FD_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+_FD_RATE = 0.05
+
+
+def _fd_pair_sql(a: str, b: str) -> str:
+    return f"""
+    SELECT '{a}' AS lhs, '{b}' AS rhs,
+           COUNT(*)::BIGINT AS n_lhs_groups,
+           SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating_groups,
+           CAST(CAST(round(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) / COUNT(*)::DOUBLE, 6) AS DECIMAL(10,6)) AS VARCHAR) AS violation_rate,
+           SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) / COUNT(*)::DOUBLE <= {_FD_RATE} AS holds
+    FROM (
+      SELECT l, COUNT(*) AS nr FROM (
+        SELECT DISTINCT CAST({a} AS VARCHAR) AS l, CAST({b} AS VARCHAR) AS r
+        FROM orders
+      ) GROUP BY l
+    )
+    """
+
+
+_FD_DISCOVERY_SQL = "\nUNION ALL\n".join(
+    _fd_pair_sql(a, b) for a in _FD_COLS for b in _FD_COLS if a != b
+)
+
+
+@query("fd_discovery", _FD_DISCOVERY_SQL)
+def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-FD discovery (checks.constraints.fd_discovery):
+    profile every ordered column pair of orders for how close
+    lhs → rhs is to holding — key columns discover exact FDs, the
+    reverse directions report their true violation rates.  One melt
+    scan + three stacked partial aggregates for ALL pairs."""
+    from opengauss_tools_datachecker_performance_spark.checks.constraints import (
+        fd_discovery,
+    )
+
+    return fd_discovery(
+        _t(spark, sf_dir, "orders"), _FD_COLS, max_violation_rate=_FD_RATE
+    )

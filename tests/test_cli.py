@@ -466,6 +466,7 @@ def test_cli_table_audit(spark, tmp_path):
             "--audit-benford", "price",
             "--audit-histogram", "price:10",
             "--audit-pk-gaps", "ok",
+            "--audit-fd-discovery", "cust,status:0.05",
         ],
         spark=spark,
     )
@@ -475,6 +476,7 @@ def test_cli_table_audit(spark, tmp_path):
     assert sec["table"] == tbl
     assert sec["domain_status"] > 0  # planted 'X' rows
     assert sec["n_pk_gaps"] == 1  # the missing key 150
+    assert sec["fd_pairs_profiled"] == 2  # cust->status, status->cust
     for frame in (
         "audit_domain_status",
         "audit_fd_cust",
@@ -483,5 +485,6 @@ def test_cli_table_audit(spark, tmp_path):
         "audit_benford",
         "audit_histogram",
         "audit_pk_gaps",
+        "audit_fd_discovery",
     ):
         assert os.path.exists(os.path.join(report, f"{frame}.parquet")), frame
