@@ -96,3 +96,53 @@ def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fd_discovery(
         _t(spark, sf_dir, "orders"), _FD_COLS, max_violation_rate=_FD_RATE
     )
+
+
+_WINNOW_K, _WINNOW_W = 3, 4
+
+_WINNOW_SQL = f"""
+    WITH norm AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             %TOKS% AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15))::BIGINT AS sh
+      FROM norm, UNNEST(range(1, len(toks) - {_WINNOW_K} + 2)) AS t(i)
+      WHERE len(toks) >= {_WINNOW_K}
+    ),
+    sel AS (
+      SELECT doc_id, pos,
+             MIN({{'sh': sh, 'np': -pos}}) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN {_WINNOW_W - 1} PRECEDING AND CURRENT ROW
+             ) AS s
+      FROM grams
+    )
+    SELECT DISTINCT doc_id, CAST(-(s.np) AS INT) AS pos, s.sh AS fp
+    FROM sel WHERE pos >= {_WINNOW_W - 1}
+"""
+
+
+@query(
+    "winnow_fingerprints",
+    _WINNOW_SQL.replace(
+        "%TOKS%",
+        "list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),"
+        " '\\s+', ' ', 'g')), '\\s+'), x -> x <> '')",
+    ),
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (operators.dedup.winnow_fingerprints;
+    Schleimer et al. SIGMOD'03): robust-winnowed k-gram minima over
+    documents — any ≥(w+k-1)-token shared substring is guaranteed a
+    matching fingerprint; stored set ~1/w of the gram stream."""
+    from opengauss_tools_datachecker_performance_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return winnow_fingerprints(d, "doc_id", "text", _WINNOW_K, _WINNOW_W)

@@ -872,3 +872,49 @@ def dedup_rate_by_group(
             .alias("dup_rate"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm) → (doc_id, pos, fp): from each
+    sliding window of ``window`` consecutive k-gram hashes, keep the
+    MINIMUM hash (rightmost on ties — "robust winnowing"), emitting
+    each selected position once.
+
+    The guarantee that makes this the rolling-hash fingerprint of
+    choice: any shared substring of at least window+k-1 tokens yields
+    at least one IDENTICAL (hash) fingerprint in both documents, while
+    the stored set is ~1/window of the k-gram stream — position-robust
+    (unlike MinHash bands, a match pins a location) and
+    deletion-robust.
+
+    Scale shape: the positional k-gram stream is corpus-token-sized
+    (same as every shingle pipeline here); the window min runs
+    PARTITIONED per doc over a ``window``-row frame; the distinct
+    collapses map-side.  One doc-keyed shuffle end to end."""
+    rows = shingle_rows(df, id_col, text_col, shingle_k, keep_pos=True)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), 0)
+    )
+    # min over (hash, -pos): minimal hash, ties to the RIGHTMOST
+    # position — one struct-min per full window, inside codegen
+    sel = F.min(F.struct(F.col("sh"), (-F.col("pos")).alias("np"))).over(w)
+    picked = (
+        rows.withColumn("_sel", sel)
+        .filter(F.col("pos") >= window - 1)  # full windows only
+        .select(
+            "doc_id",
+            (-F.col("_sel.np")).cast("int").alias("pos"),
+            F.col("_sel.sh").alias("fp"),
+        )
+        .dropDuplicates(["doc_id", "pos", "fp"])
+    )
+    return picked

@@ -533,3 +533,39 @@ def test_containment_single_doc_and_empty(spark):
     assert containment_pairs(one, "doc_id", "text").count() == 0
     empty = spark.createDataFrame([], "doc_id string, text string")
     assert containment_pairs(empty, "doc_id", "text").count() == 0
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """Schleimer et al.'s core guarantee: documents sharing a substring
+    of ≥ window+k-1 tokens share at least one identical fingerprint;
+    and the fingerprint set is a strict subset of the k-gram stream."""
+    from opengauss_tools_datachecker_performance_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w+k-1
+    docs = spark.createDataFrame(
+        [
+            ("a", "intro words here " + shared + " tail one"),
+            ("b", "совершенно other prefix " + shared + " different ending"),
+            ("c", "no overlap with anything else at all whatsoever"),
+        ],
+        "doc_id string, text string",
+    )
+    fps = winnow_fingerprints(docs, "doc_id", "text", shingle_k=3, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc["a"] & by_doc["b"], "shared substring must share a fingerprint"
+    assert not (by_doc["a"] & by_doc["c"])
+    # density: fingerprints ≈ 1/window of gram positions, never more
+    n_tokens_a = len(("intro words here " + shared + " tail one").split())
+    n_grams_a = n_tokens_a - 3 + 1
+    assert len(by_doc["a"]) < n_grams_a
+    # determinism across runs
+    again = {
+        (r.doc_id, r.pos, r.fp)
+        for r in winnow_fingerprints(docs, "doc_id", "text", 3, 4).collect()
+    }
+    first = {(r.doc_id, r.pos, r.fp) for r in fps.collect()}
+    assert again == first
