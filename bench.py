@@ -243,6 +243,10 @@ def main() -> None:
         "group_quantile_profile",
         "cluster_size_histogram",
         "dedup_rate_report",
+        # wave 18: persisted ANN index, FD discovery, winnowing
+        "ann_index_query",
+        "fd_discovery",
+        "winnow_fingerprints",
     ]
     if os.environ.get("SPARK_GRAFT_BENCH_OPS", "1") == "0":
         op_names = []
