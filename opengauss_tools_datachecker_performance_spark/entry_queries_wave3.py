@@ -472,9 +472,12 @@ def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A12 scale path: t-digest drift. The sketch's quantiles are
 # approximate, so the oracle checks what IS exact: the per-partition
 # row count and the drift VERDICT. One partition (part 7) has its
-# metric planted 3x larger, so its score sits far above the 0.3
-# threshold while the others sit far below — sketch error (a few
-# percent on a quantile) cannot flip either side of the verdict.
+# metric planted 3x larger (exact score ≈ 2.3) while natural parts
+# measure ≤ 0.29 exact even at sf0.001 — the 0.75 threshold leaves
+# sketch error (a few percent on a quantile, larger at tiny per-part
+# n) no room to flip either side of the verdict at ANY test sf.  (A
+# 0.3 threshold was within noise of sf0.001's 0.289 natural maximum —
+# found by the full-catalog sf0.001 sweep.)
 # ---------------------------------------------------------------------------
 
 _TDIGEST_PROBS_SQL = [0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95]
@@ -497,7 +500,7 @@ def _tdigest_oracle_sql() -> str:
     ),
     pq AS (SELECT part, COUNT(*) AS n, {qcols} FROM m GROUP BY part),
     g AS (SELECT {gcols} FROM pq)
-    SELECT part, CAST(n AS BIGINT) AS n, greatest({gaps}) > 0.3 AS drifted
+    SELECT part, CAST(n AS BIGINT) AS n, greatest({gaps}) > 0.75 AS drifted
     FROM pq, g
     """
 
@@ -519,7 +522,7 @@ def q_drift_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("n_chars").cast("double"))
         .alias("metric"),
     )
-    return drift_by_tdigest(d, threshold=0.3).select("part", "n", "drifted")
+    return drift_by_tdigest(d, threshold=0.75).select("part", "n", "drifted")
 
 
 @query(
