@@ -191,3 +191,38 @@ def test_apply_cdc_matches_bruteforce(spark, snap, changes):
         else:
             want[k] = v
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3), st.integers(0, 3), st.sampled_from("xyz")
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_fd_discovery_matches_bruteforce(spark, rows):
+    from opengauss_tools_datachecker_performance_spark.checks.constraints import (
+        fd_discovery,
+    )
+
+    df = spark.createDataFrame(rows, "a int, b int, c string")
+    cols = ["a", "b", "c"]
+    got = {
+        (r.lhs, r.rhs): (r.n_lhs_groups, r.n_violating_groups, r.holds)
+        for r in fd_discovery(df, cols, max_violation_rate=0.2).collect()
+    }
+    data = [dict(zip(cols, r)) for r in rows]
+    for lhs in cols:
+        for rhs in cols:
+            if lhs == rhs:
+                continue
+            mapping: dict = {}
+            for row in data:
+                mapping.setdefault(str(row[lhs]), set()).add(str(row[rhs]))
+            n_groups = len(mapping)
+            n_viol = sum(1 for v in mapping.values() if len(v) > 1)
+            holds = n_viol / n_groups <= 0.2
+            assert got[(lhs, rhs)] == (n_groups, n_viol, holds), (lhs, rhs)
