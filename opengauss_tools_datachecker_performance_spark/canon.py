@@ -144,9 +144,17 @@ def canon_binary(c: Column) -> Column:
 def canon_oracle_number(c: Column, scale: int = 0) -> Column:
     """NUMBER(p,s) → BigInteger string when -84 ≤ s ≤ 0, else the
     double's string with scientific notation expanded
-    (SimpleTypeHandlerFactory.java:574-591 createOracleBigDecimalHandler)."""
+    (SimpleTypeHandlerFactory.java:574-591 createOracleBigDecimalHandler).
+
+    BigDecimal.toBigInteger() TRUNCATES toward zero (2.7 → 2,
+    -2.7 → -2); a bare decimal(38,0) cast would round HALF_UP
+    (2.7 → 3). ``c - (c % 1)`` is the type-generic truncation — exact
+    for decimal inputs, overflow-free for doubles (Spark's % keeps the
+    dividend's sign, so the subtraction moves toward zero for
+    negatives too); the decimal cast then only relabels an
+    already-integral value."""
     if -84 <= scale <= 0:
-        return c.cast("decimal(38,0)").cast("string")
+        return (c - (c % F.lit(1))).cast("decimal(38,0)").cast("string")
     return canon_double_plain(c)
 
 
@@ -158,8 +166,15 @@ def canon_oracle_raw(c: Column) -> Column:
 
 def canon_oracle_blob(c: Column) -> Column:
     """BLOB → upper hex with trailing ZERO BYTES removed
-    (HexUtil.byteToHexTrim: 02AA00 → 02AA; all-zero → empty string)."""
-    return F.regexp_replace(F.upper(F.hex(c)), "(00)+$", "")
+    (HexUtil.byteToHexTrim: 02AA00 → 02AA).  The reference's trim loop
+    unconditionally emits the byte at its slow pointer, so an ALL-zero
+    array yields '00' — never the empty string; only a genuinely empty
+    BLOB renders as ''."""
+    hexs = F.upper(F.hex(c))
+    trimmed = F.regexp_replace(hexs, "(00)+$", "")
+    return F.when((trimmed == "") & (hexs != ""), F.lit("00")).otherwise(
+        trimmed
+    )
 
 
 def canon_oracle_clob(c: Column) -> Column:

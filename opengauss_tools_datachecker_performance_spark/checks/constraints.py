@@ -33,8 +33,22 @@ def fd_violations(
     aggregation collapses duplicates map-side), then a count per lhs —
     no COUNT(DISTINCT) expand, no skew amplification on hot lhs keys.
     ``rhs_min``/``rhs_max`` give a witness pair of conflicting values.
+
+    The rhs tuple encoding is NULL-safe: concat_ws silently drops NULL
+    components, which would make a NULL rhs collide with '' and make
+    ('a', NULL) encode like (NULL, 'a') — so each component is
+    coalesced to a reserved sentinel before joining.  SQL NULL
+    semantics for the dependency itself: NULL is treated as a distinct
+    marked value (matching GROUP BY), so a group mapping to {'x', NULL}
+    counts 2 distinct rhs tuples.
     """
-    rhs_tuple = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in rhs_cols])
+    rhs_tuple = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in rhs_cols
+        ],
+    )
     pairs = (
         df.select(*lhs_cols, rhs_tuple.alias("_rhs"))
         .groupBy(*lhs_cols, "_rhs")
@@ -196,8 +210,18 @@ def pk_gaps(df: DataFrame, key_col: str, n_buckets: int = 256) -> DataFrame:
         )
     lo, hi = int(mm["lo"]), int(mm["hi"])
     span = max(hi - lo + 1, 1)
+    # bucket in DOUBLE space: long math ((k-lo) * n_buckets) overflows
+    # for 64-bit-wide key ranges (snowflake ids, span near 2^63) and
+    # silently breaks bucket monotonicity; the double ratio is monotone
+    # non-decreasing, and the least() cap absorbs the k=hi edge where
+    # rounding could land exactly on n_buckets
     bucket = F.least(
-        F.lit(n_buckets - 1), ((F.col("k") - F.lit(lo)) * n_buckets / span).cast("int")
+        F.lit(n_buckets - 1),
+        (
+            (F.col("k").cast("double") - F.lit(float(lo)))
+            / F.lit(float(span))
+            * F.lit(n_buckets)
+        ).cast("int"),
     )
     b = keys.withColumn("_b", bucket)
     w = Window.partitionBy("_b").orderBy("k")

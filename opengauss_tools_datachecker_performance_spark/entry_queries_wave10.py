@@ -245,29 +245,54 @@ _SQL_MIX_TOKS = _SQL_WS_TOKS.format(t="text")
                   ELSE 0.0::DOUBLE * 50000.0::DOUBLE END AS target_tokens
       FROM j
     )
-    SELECT source, n_docs, n_tokens, weight, target_tokens,
-           CASE WHEN n_tokens > 0
-                THEN target_tokens / CAST(n_tokens AS DOUBLE)
-                ELSE 0.0::DOUBLE END AS epochs,
-           LEAST(1.0::DOUBLE,
-                 CASE WHEN n_tokens > 0
-                      THEN target_tokens / CAST(n_tokens AS DOUBLE)
-                      ELSE 0.0::DOUBLE END) AS sample_rate
-    FROM t
+    ,
+    r AS (
+      SELECT source, n_docs, n_tokens, weight, target_tokens,
+             CASE WHEN n_tokens > 0
+                  THEN target_tokens / CAST(n_tokens AS DOUBLE)
+                  ELSE 0.0::DOUBLE END AS epochs,
+             LEAST(1.0::DOUBLE,
+                   CASE WHEN n_tokens > 0
+                        THEN target_tokens / CAST(n_tokens AS DOUBLE)
+                        ELSE 0.0::DOUBLE END) AS sample_rate
+      FROM t
+    )
+    SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(CAST(round(weight, 6) AS DECIMAL(18,6)) AS VARCHAR) AS weight,
+           CAST(CAST(round(target_tokens, 6) AS DECIMAL(18,6)) AS VARCHAR)
+             AS target_tokens,
+           CAST(CAST(round(epochs, 6) AS DECIMAL(18,6)) AS VARCHAR) AS epochs,
+           CAST(CAST(round(sample_rate, 6) AS DECIMAL(18,6)) AS VARCHAR)
+             AS sample_rate
+    FROM r
     """,
 )
 def q_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixing plan (operators.curation.mixing_plan): src0 weighted
     3×, src1/src2 1×, every other source weight 0 — target tokens,
     oversampling epochs, and within-epoch sample_rate per source
-    against a 50k-token budget."""
+    against a 50k-token budget. Rate columns are rendered as 6-dp
+    decimal strings (both engines compute the same IEEE doubles, then
+    round+render identically — the hash-stable canonical form)."""
     from opengauss_tools_datachecker_performance_spark.operators.curation import (
         mixing_plan,
     )
 
     d = _t(spark, sf_dir, "documents")
-    return mixing_plan(
+    plan = mixing_plan(
         d, {"src0": 3.0, "src1": 1.0, "src2": 1.0}, token_budget=50_000
+    )
+    canon6 = lambda c: (  # noqa: E731 — local rendering helper
+        F.round(F.col(c), 6).cast("decimal(18,6)").cast("string").alias(c)
+    )
+    return plan.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        canon6("weight"),
+        canon6("target_tokens"),
+        canon6("epochs"),
+        canon6("sample_rate"),
     )
 
 

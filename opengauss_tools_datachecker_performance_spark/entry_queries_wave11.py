@@ -62,9 +62,13 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_stats(_t(spark, sf_dir, "documents"))
 
 
-@query(
-    "lm_surprisal",
-    f"""
+#: full-precision surprisal core — reused (decimal avg_bits intact) by
+#: wave 14's budget_prune oracle, which ORDERS BY avg_bits numerically.
+#: The registered lm_surprisal oracle wraps this with a VARCHAR cast so
+#: the driver-facing output schema is hash-stable (a DECIMAL column
+#: reaches pandas as float64 from DuckDB but decimal.Decimal from
+#: Spark, and the driver's exact value hash sees those as different).
+_SQL_LM_CORE = f"""
     WITH {_SQL_NORM_DOCS},
     bg AS (
       SELECT doc_id, unnest(
@@ -97,16 +101,28 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(round(SUM(bits)::DOUBLE / COUNT(*), 6) AS DECIMAL(10,6))
              AS avg_bits
     FROM scored GROUP BY 1
+"""
+
+
+@query(
+    "lm_surprisal",
+    f"""
+    SELECT doc_id, n_bigrams, surprisal_bits,
+           CAST(avg_bits AS VARCHAR) AS avg_bits
+    FROM ({_SQL_LM_CORE})
     """,
 )
 def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-trained bigram-LM surprisal per doc
-    (operators.corpus_stats.bigram_surprisal_scores)."""
+    (operators.corpus_stats.bigram_surprisal_scores). avg_bits is
+    emitted as its exact 6-dp decimal STRING — the catalog's
+    hash-stable output ground rule (entry_queries.py header)."""
     from opengauss_tools_datachecker_performance_spark.operators.corpus_stats import (
         bigram_surprisal_scores,
     )
 
-    return bigram_surprisal_scores(_t(spark, sf_dir, "documents"))
+    lm = bigram_surprisal_scores(_t(spark, sf_dir, "documents"))
+    return lm.withColumn("avg_bits", F.col("avg_bits").cast("string"))
 
 
 @query(
@@ -319,17 +335,23 @@ def _planted_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quality_filter",
     f"""
     WITH {_SQL_QF_CORE}
-    SELECT doc_id, n_tokens, len(reasons) = 0 AS keep, reasons FROM r
+    SELECT doc_id, n_tokens, len(reasons) = 0 AS keep,
+           COALESCE(array_to_string(reasons, ','), '') AS reasons
+    FROM r
     """,
 )
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite Gopher-rule verdict (operators.quality.quality_filter)
-    over documents with planted short/boilerplate/PII docs."""
+    over documents with planted short/boilerplate/PII docs. The sorted
+    reasons array is flattened to a comma-joined string for the driver
+    gate (an array column is unhashable in the driver's pandas-based
+    value hasher); the operator itself keeps the typed array."""
     from opengauss_tools_datachecker_performance_spark.operators.quality import (
         quality_filter,
     )
 
-    return quality_filter(_planted_quality_docs(spark, sf_dir).drop("source"))
+    qf = quality_filter(_planted_quality_docs(spark, sf_dir).drop("source"))
+    return qf.withColumn("reasons", F.concat_ws(",", "reasons"))
 
 
 @query(

@@ -145,14 +145,17 @@ def q_offset_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
            SUM(n_spans)::BIGINT AS n_spans,
            SUM(m)::BIGINT AS n_media_spans,
            SUM(toks)::BIGINT AS text_tokens,
-           CAST(round(SUM(m)::DOUBLE / SUM(n_spans), 6) AS DECIMAL(10,6))
+           CAST(CAST(round(SUM(m)::DOUBLE / SUM(n_spans), 6) AS DECIMAL(10,6))
+                AS VARCHAR)
              AS media_span_fraction
     FROM d GROUP BY 1
     """,
 )
 def q_interleaved_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition interleaved-corpus composition
-    (checks.interleaved.interleaved_profile)."""
+    (checks.interleaved.interleaved_profile). The fraction column is
+    rendered as its exact 6-dp decimal string — hash-stable through
+    both engines' pandas conversions."""
     from opengauss_tools_datachecker_performance_spark.checks.interleaved import (
         interleaved_profile,
     )
@@ -160,7 +163,10 @@ def q_interleaved_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs_from_documents,
     )
 
-    return interleaved_profile(docs_from_documents(_t(spark, sf_dir, "documents")))
+    prof = interleaved_profile(docs_from_documents(_t(spark, sf_dir, "documents")))
+    return prof.withColumn(
+        "media_span_fraction", F.col("media_span_fraction").cast("string")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -148,7 +148,11 @@ def q_budget_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# resolve the wave-11 surprisal SQL into the oracle AFTER registration
-ORACLES["budget_prune"] = ORACLES["budget_prune"].format(
-    lm_sql=ORACLES["lm_surprisal"]
+# resolve the wave-11 surprisal CORE (decimal avg_bits — this oracle
+# ORDERS BY it numerically; the registered lm_surprisal oracle renders
+# it as VARCHAR for hash stability and must not be reused here)
+from opengauss_tools_datachecker_performance_spark.entry_queries_wave11 import (
+    _SQL_LM_CORE,
 )
+
+ORACLES["budget_prune"] = ORACLES["budget_prune"].format(lm_sql=_SQL_LM_CORE)

@@ -400,7 +400,8 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH sink AS ({_SINK_ORDERS_SQL})
     SELECT o_orderstatus, COUNT(*)::BIGINT AS n_orders,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     AS DECIMAL(28,2)) AS VARCHAR) AS sum_price,
            MIN(CAST(o_orderkey AS VARCHAR)) AS min_key,
            MAX(CAST(o_orderkey AS VARCHAR)) AS max_key
     FROM sink GROUP BY 1
@@ -441,7 +442,11 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = apply_cdc(orders, changes, "o_orderkey")
     return merged.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"),
+        # exact decimal fold, STRING render (catalog hash-stable form)
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .cast("string")
+        .alias("sum_price"),
         F.min(F.col("o_orderkey").cast("string")).alias("min_key"),
         F.max(F.col("o_orderkey").cast("string")).alias("max_key"),
     )
@@ -525,7 +530,8 @@ def q_as_of_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) AS session_id
       FROM g
     )
-    SELECT user_id, session_id, COUNT(*)::BIGINT AS n_events,
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*)::BIGINT AS n_events,
            strftime(MIN(ts), '{_TS_SQL}') AS session_start,
            strftime(MAX(ts), '{_TS_SQL}') AS session_end
     FROM s GROUP BY 1, 2

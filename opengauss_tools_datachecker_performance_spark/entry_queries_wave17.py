@@ -63,9 +63,9 @@ _DEC6 = "CAST(CAST(round({x}, 6) AS DECIMAL(18,6)) AS VARCHAR)"
     SELECT grp AS "group",
            (bk * 3600)::BIGINT AS window_start,
            n_events,
-           {_DEC6.format(x='m')} AS trailing_mean,
-           {_DEC6.format(x='CASE WHEN c >= 2 AND sd > 0 THEN (n_events - m) / sd END')} AS z,
-           CASE WHEN c >= 2 AND sd > 0 THEN ABS((n_events - m) / sd) > 3.0 WHEN c >= 2 AND sd = 0 THEN n_events <> m END AS anomalous
+           COALESCE({_DEC6.format(x='m')}, '') AS trailing_mean,
+           COALESCE({_DEC6.format(x='CASE WHEN c >= 2 AND sd > 0 THEN (n_events - m) / sd END')}, '') AS z,
+           COALESCE(CAST(CASE WHEN c >= 2 AND sd > 0 THEN ABS((n_events - m) / sd) > 3.0 WHEN c >= 2 AND sd = 0 THEN n_events <> m END AS VARCHAR), '') AS anomalous
     FROM scored
     """,
 )
@@ -87,9 +87,12 @@ def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         # session-TZ-neutral
         F.col("window_start").cast("long").alias("window_start"),
         "n_events",
-        dec6(F.col("trailing_mean")).alias("trailing_mean"),
-        dec6(F.col("z")).alias("z"),
-        "anomalous",
+        # tri-state columns render NULL ("no verdict yet") as '' — a
+        # nullable boolean reaches pandas as None from Spark but NaN
+        # from DuckDB, which the driver's exact hasher sees as a diff
+        F.coalesce(dec6(F.col("trailing_mean")), F.lit("")).alias("trailing_mean"),
+        F.coalesce(dec6(F.col("z")), F.lit("")).alias("z"),
+        F.coalesce(F.col("anomalous").cast("string"), F.lit("")).alias("anomalous"),
     )
 
 

@@ -97,7 +97,8 @@ def q_repair_dml_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SKEW_SQL = """
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS sum_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(20,2))
+                AS VARCHAR) AS sum_qty
     FROM lineitem
     GROUP BY l_returnflag
 """
@@ -127,5 +128,7 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return partial.groupBy("l_returnflag").agg(
         F.sum("_n").cast("long").alias("n_rows"),
-        F.sum("_sq").cast("decimal(20,2)").alias("sum_qty"),
+        # decimal keeps the two-level fold associative; the STRING cast
+        # is the driver-facing canonical form (hash-stable both engines)
+        F.sum("_sq").cast("decimal(20,2)").cast("string").alias("sum_qty"),
     )

@@ -29,6 +29,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from opengauss_tools_datachecker_performance_spark.operators.skew import small_side
+
 from opengauss_tools_datachecker_performance_spark.functions.hashing import (
     portable_hash64,
 )
@@ -301,7 +303,7 @@ def exact_jaccard(
     ).distinct()
     rows = (
         shingle_rows(df, id_col, text_col, shingle_k, distinct=True)
-        .join(F.broadcast(ids), "doc_id", "left_semi")
+        .join(small_side(ids), "doc_id", "left_semi")
         .persist()
     )
     if coverage_out is not None:
@@ -316,7 +318,7 @@ def jaccard_for_pairs(rows: DataFrame, pairs: DataFrame) -> DataFrame:
     (operators/dedup_index.py) where the corpus side's rows come
     pre-computed from persisted state instead of a text scan."""
     sizes = rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    bp = F.broadcast(pairs)
+    bp = small_side(pairs)
     a_rows = bp.join(rows.withColumnRenamed("doc_id", "id_a"), "id_a")
     shared = (
         a_rows.alias("l")
@@ -574,7 +576,7 @@ def ngram_jaccard_pairs(
     )
     if coverage_out is not None:
         coverage_out["ngram_dropped_stop_shingles"] = freq_bad
-    sh2 = sh.join(F.broadcast(freq_bad.select("sh")), "sh", "left_anti")
+    sh2 = sh.join(small_side(freq_bad.select("sh")), "sh", "left_anti")
     a = sh2.withColumnRenamed("doc_id", "id_a")
     b = sh2.withColumnRenamed("doc_id", "id_b")
     shared = (
@@ -616,8 +618,9 @@ def containment_pairs(
 
     Same inverted-index scale shape as the Jaccard path: distinct
     shingles, stop-shingles above ``max_shingle_freq`` anti-joined out
-    (broadcast the few bad ones), pair counts via one shingle
-    equi-join.  Output is directional (both (a,b) and (b,a) can
+    (runtime-size-checked broadcast — :func:`operators.skew.small_side`
+    — since the stop-shingle set grows with vocabulary), pair counts
+    via one shingle equi-join.  Output is directional (both (a,b) and (b,a) can
     appear); self-pairs excluded."""
     sh = shingle_rows(df, id_col, text_col, shingle_k, distinct=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -626,7 +629,7 @@ def containment_pairs(
     )
     if coverage_out is not None:
         coverage_out["containment_dropped_stop_shingles"] = freq_bad
-    sh2 = sh.join(F.broadcast(freq_bad.select("sh")), "sh", "left_anti")
+    sh2 = sh.join(small_side(freq_bad.select("sh")), "sh", "left_anti")
     a = sh2.withColumnRenamed("doc_id", "doc_id")
     b = sh2.withColumnRenamed("doc_id", "container_id")
     shared = (

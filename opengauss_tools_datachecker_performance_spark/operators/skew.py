@@ -31,6 +31,26 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def small_side(df: DataFrame) -> DataFrame:
+    """Join-side marker for frames EXPECTED to be small but whose size
+    is corpus-proportional (candidate-pair sets, stop-shingle sets):
+    with AQE on (the engine default, session.py) the frame is returned
+    UNHINTED — AQE's runtime size check still broadcasts it whenever
+    the materialized side is under
+    ``spark.sql.autoBroadcastJoinThreshold``, and falls back to a
+    shuffle join when near-dup density or vocabulary growth blows it
+    past driver/executor broadcast budgets (where an unconditional
+    ``F.broadcast`` hint becomes an OOM at 100 TB).  With AQE off
+    (perf-probe configuration only) the broadcast is pinned, because
+    static stats cannot see through the aggregations that produce
+    these frames and sandbox scales always fit the threshold."""
+    aqe = (
+        df.sparkSession.conf.get("spark.sql.adaptive.enabled", "true").lower()
+        == "true"
+    )
+    return df if aqe else F.broadcast(df)
+
+
 def salt_col(cols: list[str], salt_buckets: int) -> Column:
     """Deterministic salt in [0, salt_buckets): hash of the given
     columns (use value/content columns, NOT the hot key itself)."""

@@ -135,8 +135,13 @@ def interval_count_bucketed(
     median interval length.  Intervals that match zero points still
     report n_points=0 (left join from intervals)."""
     bucket_s = bucket_minutes * 60
-    # epoch seconds via a timestamp hop (NTZ-safe; session TZ is UTC)
-    sec = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    # wall-clock epoch seconds, session-TZ-independent (same NTZ-diff
+    # form as rate_anomaly; only used internally for bucketing, but a
+    # session-dependent bucket edge is a debugging trap)
+    _epoch_ntz = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    sec = lambda c: F.timestamp_diff(  # noqa: E731
+        "SECOND", _epoch_ntz, c.cast("timestamp_ntz")
+    )
     p = points.select(
         F.col(ts_col).alias("_ts"),
         (sec(F.col(ts_col)) / bucket_s).cast("long").alias("_bk"),
@@ -196,7 +201,14 @@ def rate_anomaly(
     from pyspark.sql.window import Window
 
     bucket_s = window_minutes * 60
-    sec = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    # wall-clock epoch seconds via an NTZ diff — a bare
+    # cast("timestamp").cast("long") interprets an NTZ column in the
+    # SESSION timezone, shifting every bucket boundary when the driver
+    # session isn't UTC (caught by driver_hash_repro --tz)
+    _epoch_ntz = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    sec = lambda c: F.timestamp_diff(  # noqa: E731
+        "SECOND", _epoch_ntz, c.cast("timestamp_ntz")
+    )
     b = events.select(
         F.col(group_col).alias("group"),
         (sec(F.col(ts_col)) / bucket_s).cast("long").alias("_bk"),

@@ -57,8 +57,11 @@ def windowed_change_rate(
         F.window(time_col, window, slide) if slide else F.window(time_col, window)
     ).alias("w")
     # window length in seconds, derived from the window struct itself
-    # so the rate denominator always matches the requested duration
-    dur = F.unix_timestamp(F.col("w.end")) - F.unix_timestamp(F.col("w.start"))
+    # so the rate denominator always matches the requested duration.
+    # timestamp_diff (not unix_timestamp subtraction): exact wall-clock
+    # seconds whatever the session TZ — a window straddling a DST jump
+    # in a non-UTC driver session would otherwise skew the denominator
+    dur = F.timestamp_diff("SECOND", F.col("w.start"), F.col("w.end"))
     aggs = [F.count(F.lit(1)).alias("n_events")]
     if value_col is not None:
         aggs.append(

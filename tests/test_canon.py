@@ -267,9 +267,11 @@ def test_golden_oracle_raw_vs_blob_trim(spark):
     assert _one(spark, b"\x02\xaa\x00\x00", bt, canon_oracle_blob) == "02AA"
     # interior zeros survive; only the tail trims
     assert _one(spark, b"\x00\x10\x00", bt, canon_oracle_blob) == "0010"
-    # all-zero payload trims to the empty string (byteToHexTrim's
-    # fast/slow loop never appends)
-    assert _one(spark, b"\x00\x00", bt, canon_oracle_blob) == ""
+    # all-zero payload keeps ONE '00': byteToHexTrim's slow pointer
+    # unconditionally appends its byte, so the trim can never reach
+    # the empty string on non-empty input (ADVICE r03)
+    assert _one(spark, b"\x00\x00", bt, canon_oracle_blob) == "00"
+    assert _one(spark, b"", bt, canon_oracle_blob) == ""
     # no accidental odd-aligned trim: 0x30,0x00 -> "30", 0x03,0x00 -> "03"
     assert _one(spark, b"\x30\x00", bt, canon_oracle_blob) == "30"
     assert _one(spark, b"\x03\x00", bt, canon_oracle_blob) == "03"

@@ -138,3 +138,86 @@ def _assert_global_windows_bounded(name: str, plan: str) -> None:
             f"(no aggregate/top-k/limit below it):\n{line.strip()}\n"
             + "\n".join(s.rstrip() for s in subtree[:8])
         )
+
+
+# --- driver-hash-stable output schema gate ----------------------------
+# The round-3 driver sample turned 6 catalog entries red for ONE
+# mechanical reason: output columns whose type converts differently
+# through the two engines' pandas paths (Spark toPandas vs DuckDB
+# .df()).  decimal -> decimal.Decimal vs float64, HUGEINT/windowed SUM
+# -> float64, array -> unhashable ndarray, nullable boolean -> None vs
+# NaN.  The catalog ground rule (entry_queries.py header) is therefore
+# ENFORCED here: every driver-facing output column must be a type both
+# paths map identically — string, int/long/short, boolean.  Floats,
+# decimals, arrays, maps, structs and timestamps must be canonicalized
+# (round -> decimal -> string, concat_ws, epoch seconds) BEFORE the
+# entry returns.  scripts/driver_hash_repro.py replays the driver's
+# exact comparison when adding entries.
+
+from pyspark.sql.types import (  # noqa: E402
+    BooleanType,
+    ByteType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+)
+
+_HASH_STABLE_TYPES = (
+    StringType,
+    LongType,
+    IntegerType,
+    ShortType,
+    ByteType,
+    BooleanType,
+)
+
+#: grandfathered pre-gate columns, each verified driver-green AND
+#: exact-cell-equal under scripts/driver_hash_repro.py: timestamp_ntz
+#: reaches datetime64[us] from BOTH engines; these doubles are the
+#: same IEEE-754 expression on both sides (no rounding involved).
+#: Do NOT add new entries here — canonicalize instead.
+_GRANDFATHERED_COLUMNS = {
+    "column_rule_projection": {"l_shipdate"},  # timestamp_ntz, green r01/r02
+    "decontaminate": {"shared_frac"},  # double, green r03
+    "repetition_stats": {"dup_token_frac", "top_bigram_frac"},  # green r02
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_catalog_output_schema_hash_stable(spark, name):
+    schema = QUERIES[name](spark, SF).schema
+    allowed = _GRANDFATHERED_COLUMNS.get(name, set())
+    offenders = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in schema.fields
+        if not isinstance(f.dataType, _HASH_STABLE_TYPES)
+        and f.name not in allowed
+    ]
+    assert not offenders, (
+        f"{name}: driver-hash-unstable output column(s) {offenders} — "
+        "canonicalize to string/bigint/boolean in BOTH the Spark entry "
+        "and the DuckDB oracle (see entry_queries.py ground rules)"
+    )
+
+
+# --- broadcast discipline on corpus-proportional frames ---------------
+# Candidate-pair sets and stop-shingle sets grow with corpus near-dup
+# density / vocabulary: an unconditional F.broadcast hint on them is a
+# driver OOM at 100 TB.  They must route through
+# operators.skew.small_side (AQE runtime size check decides).  Bounded
+# frames (centroids, per-partition offsets, one-row scalars) may still
+# hint statically — this gate only polices the dedup pair pipeline,
+# where every join side is corpus-derived.
+
+
+def test_dedup_pipeline_has_no_unconditional_broadcast():
+    import inspect
+
+    from opengauss_tools_datachecker_performance_spark.operators import dedup
+
+    src = inspect.getsource(dedup)
+    assert "F.broadcast(" not in src, (
+        "operators/dedup.py must not pin broadcasts on corpus-derived "
+        "frames — use operators.skew.small_side"
+    )
