@@ -304,6 +304,24 @@ def build_parser() -> argparse.ArgumentParser:
              "counts of rows per GROUP column vs the trailing baseline "
              "(defaults 60 min, 24 windows) → audit_rate_anomaly.parquet",
     )
+    p.add_argument(
+        "--audit-kanon", default=None, metavar="QI1,QI2[,...][:K]",
+        help="k-anonymity audit over the quasi-identifier columns "
+             "(default k=5) → audit_kanon.parquet (one verdict row)",
+    )
+    p.add_argument(
+        "--audit-split", default=None, metavar="IDCOL[:GROUPCOL[:SEED]]",
+        help="deterministic 90/5/5 train/val/test hash-split report "
+             "(seeded md5 wheel; stable under appends) → "
+             "audit_split.parquet",
+    )
+    p.add_argument(
+        "--audit-equidepth", default=None,
+        metavar="COL:TIE1[+TIE2][:BINS]",
+        help="exact equi-depth histogram of COL (unique order via the "
+             "tiebreak columns; default 16 bins) → "
+             "audit_equidepth.parquet",
+    )
     p.add_argument("--run-id", default=None)
     p.add_argument("--master", default=None, help="override master (default: spark-submit / env)")
     return p
@@ -687,6 +705,52 @@ def _run_table_audit(spark: SparkSession, args) -> dict | None:
             .count()
         )
         section["n_rate_anomalies"] = n_anom
+    if args.audit_kanon:
+        from opengauss_tools_datachecker_performance_spark.checks.privacy import (
+            k_anonymity_audit,
+        )
+
+        cols_part, _, k_str = args.audit_kanon.partition(":")
+        _write(
+            k_anonymity_audit(
+                t, cols_part.split(","), int(k_str) if k_str else 5
+            ),
+            "audit_kanon",
+        )
+        section["kanon_cols"] = cols_part
+    if args.audit_split:
+        from opengauss_tools_datachecker_performance_spark.operators.splits import (
+            split_report,
+        )
+
+        parts = args.audit_split.split(":")
+        id_col = parts[0]
+        group_col = parts[1] if len(parts) > 1 and parts[1] else None
+        seed = int(parts[2]) if len(parts) > 2 else 0
+        n = _write(
+            split_report(
+                t,
+                id_col,
+                [("train", 0.9), ("val", 0.05), ("test", 0.05)],
+                group_col=group_col,
+                seed=seed,
+            ),
+            "audit_split",
+        )
+        section["split_rows"] = n
+    if args.audit_equidepth:
+        from opengauss_tools_datachecker_performance_spark.checks.distributions import (
+            equidepth_histogram,
+        )
+
+        parts = args.audit_equidepth.split(":")
+        col, ties = parts[0], parts[1].split("+")
+        bins = int(parts[2]) if len(parts) > 2 else 16
+        n = _write(
+            equidepth_histogram(t, col, ties, n_bins=bins),
+            "audit_equidepth",
+        )
+        section["equidepth_bins"] = n
     return section
 
 

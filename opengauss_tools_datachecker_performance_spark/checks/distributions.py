@@ -153,3 +153,43 @@ def equiwidth_histogram(
             "n",
         )
     )
+
+
+def equidepth_histogram(
+    df: DataFrame, col: str, tiebreak_cols: list[str], n_bins: int = 16
+) -> DataFrame:
+    """EXACT equi-depth histogram → (bin, n, v_lo, v_hi): bins hold
+    (near-)equal ROW counts, so the bin edges are exact quantile
+    boundaries — the profile that exposes heavy tails an equi-width
+    histogram flattens into one bucket.
+
+    bin = floor((rank-1) * n_bins / n) over the exact global rank by
+    (value, tiebreak) — computed with operators.skew.global_rank's
+    three bounded passes, never a single-task ``ROW_NUMBER() OVER
+    (ORDER BY ...)`` window.  ``tiebreak_cols`` must make the order
+    unique so both engines rank identically (the oracle runs the same
+    formula over DuckDB's ROW_NUMBER).  Edges are per-bin min/max of
+    the actual values, emitted as 6-dp decimal strings."""
+    from opengauss_tools_datachecker_performance_spark.operators.skew import (
+        global_rank,
+    )
+
+    x = F.col(col).cast("double")
+    base = df.filter(x.isNotNull()).select(
+        x.alias("_v"), *[F.col(c) for c in tiebreak_cols]
+    )
+    ranked = global_rank(base, ["_v", *tiebreak_cols], rank_name="_rn")
+    # exact total via one scalar agg, carried by a one-row broadcast
+    # cross join (same bounded shape as lm_surprisal's vocab scalar)
+    n = base.agg(F.count(F.lit(1)).alias("_n"))
+    b = F.floor((F.col("_rn") - 1) * n_bins / F.col("_n")).cast("int")
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(b.alias("bin"), "_v")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            _dec(F.min("_v")).alias("v_lo"),
+            _dec(F.max("_v")).alias("v_hi"),
+        )
+    )

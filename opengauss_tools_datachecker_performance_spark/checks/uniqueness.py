@@ -31,6 +31,10 @@ def duplicate_keys(df: DataFrame, key: Column, hash_narrow: bool = True) -> Data
     docstring; ``False`` is the direct exact groupBy (used by tests to
     prove the narrowing is lossless).
     """
+    from opengauss_tools_datachecker_performance_spark.operators.skew import (
+        small_side,
+    )
+
     keyed = df.select(key.cast("string").alias("key"))
     if hash_narrow:
         hashed = keyed.withColumn("kh", F.xxhash64("key"))
@@ -40,7 +44,12 @@ def duplicate_keys(df: DataFrame, key: Column, hash_narrow: bool = True) -> Data
             .filter(F.col("n") > 1)
             .select("kh")
         )
-        keyed = hashed.join(F.broadcast(candidates), "kh", "left_semi").drop("kh")
+        # candidate set is violation-sized on a healthy corpus but
+        # corpus-sized on a duplicate-flooded one — small_side lets
+        # AQE's runtime size check pick broadcast vs shuffle (the
+        # digest-frame variant below keeps an explicit escape hatch
+        # with its measured AQE-off trade instead)
+        keyed = hashed.join(small_side(candidates), "kh", "left_semi").drop("kh")
     return (
         keyed.groupBy("key")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))

@@ -1096,6 +1096,7 @@ from opengauss_tools_datachecker_performance_spark import entry_queries_wave15  
 from opengauss_tools_datachecker_performance_spark import entry_queries_wave16  # noqa: E402,F401
 from opengauss_tools_datachecker_performance_spark import entry_queries_wave17  # noqa: E402,F401
 from opengauss_tools_datachecker_performance_spark import entry_queries_wave18  # noqa: E402,F401
+from opengauss_tools_datachecker_performance_spark import entry_queries_wave19  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # driver sampling order — STATIC, committed, verdict-independent
@@ -1125,6 +1126,8 @@ _STATIC_FRONT = [
     "join_explosion_audit", "childless_parents", "group_quantile_profile",
     "cluster_size_histogram", "dedup_rate_report", "ann_index_query",
     "fd_discovery", "winnow_fingerprints",
+    # wave 19 (round 4, new — need their first driver row):
+    "dataset_split", "equidepth_histogram_price", "k_anonymity",
 ]
 
 

@@ -1,0 +1,136 @@
+"""Driver-contract query catalog, wave 19: release-gate operators a
+training-data pipeline runs after curation.
+
+* ``dataset_split`` — operators/splits.py: deterministic seeded-hash
+  train/val/test assignment (stable under corpus appends — no rand(),
+  no reassignments on refresh) with a per-source realized-share
+  report; the oracle replays the identical md5-wheel math in DuckDB.
+* ``equidepth_histogram_price`` — checks/distributions.py
+  equidepth_histogram: EXACT equi-depth bins via the bounded
+  global-rank passes (operators/skew.py), never a single-task global
+  window; the oracle uses a genuine ROW_NUMBER + the same bin formula.
+* ``k_anonymity`` — checks/privacy.py: quasi-identifier group-size
+  audit (k-anonymity verdict + rows-at-risk) — the table-level dual of
+  the per-document PII scan.
+
+All outputs follow the catalog's hash-stable ground rule
+(string/bigint/boolean only — tests/test_plan_audit.py gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opengauss_tools_datachecker_performance_spark.entry_queries import (
+    _t,
+    query,
+)
+from opengauss_tools_datachecker_performance_spark.operators.splits import (
+    hash_split_sql,
+)
+
+_SPLITS = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+_SPLIT_SEED = 7
+
+_SPLIT_CASE = hash_split_sql("doc_id", _SPLITS, _SPLIT_SEED)
+
+
+@query(
+    "dataset_split",
+    f"""
+    WITH s AS (
+      SELECT source, {_SPLIT_CASE} AS split FROM documents
+    ),
+    c AS (
+      SELECT source, split, COUNT(*)::BIGINT AS n_docs
+      FROM s GROUP BY 1, 2
+    )
+    SELECT source, split, n_docs,
+           CAST(CAST(round(n_docs / SUM(n_docs) OVER (PARTITION BY source), 6)
+                     AS DECIMAL(10,6)) AS VARCHAR) AS share
+    FROM c
+    """,
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split report per source
+    (operators.splits.split_report): 90/5/5 on seed 7."""
+    from opengauss_tools_datachecker_performance_spark.operators.splits import (
+        split_report,
+    )
+
+    return split_report(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        _SPLITS,
+        group_col="source",
+        seed=_SPLIT_SEED,
+    )
+
+
+@query(
+    "equidepth_histogram_price",
+    """
+    WITH base AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS v, l_orderkey, l_linenumber
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    r AS (
+      SELECT v,
+             ROW_NUMBER() OVER (ORDER BY v, l_orderkey, l_linenumber) AS rn,
+             COUNT(*) OVER () AS n
+      FROM base
+    )
+    SELECT CAST(floor((rn - 1) * 16 / n) AS INT) AS bin,
+           COUNT(*)::BIGINT AS n,
+           CAST(CAST(round(MIN(v), 6) AS DECIMAL(18,6)) AS VARCHAR) AS v_lo,
+           CAST(CAST(round(MAX(v), 6) AS DECIMAL(18,6)) AS VARCHAR) AS v_hi
+    FROM r GROUP BY 1
+    """,
+)
+def q_equidepth_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 16-bin equi-depth histogram of lineitem extended price
+    (checks.distributions.equidepth_histogram): quantile-edge bins via
+    bounded global-rank passes; the oracle's single window is fine at
+    DuckDB's sandbox scale."""
+    from opengauss_tools_datachecker_performance_spark.checks.distributions import (
+        equidepth_histogram,
+    )
+
+    return equidepth_histogram(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+        n_bins=16,
+    )
+
+
+@query(
+    "k_anonymity",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT 5::BIGINT AS k,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           COUNT(*)::BIGINT AS n_groups,
+           CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small_groups,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST(MIN(n) AS BIGINT) AS min_group_size,
+           MIN(n) >= 5 AS k_anonymous
+    FROM g
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of customer on (nation, market segment)
+    quasi-identifiers, k=5 (checks.privacy.k_anonymity_audit)."""
+    from opengauss_tools_datachecker_performance_spark.checks.privacy import (
+        k_anonymity_audit,
+    )
+
+    return k_anonymity_audit(
+        _t(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"], k=5
+    )

@@ -488,3 +488,40 @@ def test_cli_table_audit(spark, tmp_path):
         "audit_fd_discovery",
     ):
         assert os.path.exists(os.path.join(report, f"{frame}.parquet")), frame
+
+
+def test_cli_table_audit_wave19(spark, tmp_path):
+    """--audit-kanon / --audit-split / --audit-equidepth land their
+    frames + summary counters through the same --audit-table path."""
+    tbl = str(tmp_path / "cust_like")
+    rows = [
+        (i, i % 7, "SEG%d" % (i % 3), float((i * 37) % 101))
+        for i in range(400)
+    ]
+    spark.createDataFrame(
+        rows, "ck long, nat long, seg string, v double"
+    ).write.mode("overwrite").parquet(tbl)
+    corpus = _setup(spark, tmp_path)
+    report = str(tmp_path / "audit19_report")
+    rc = main(
+        [
+            "--source", f"{corpus}/docs_source.parquet",
+            "--report-dir", report,
+            "--audit-table", tbl,
+            "--audit-kanon", "nat,seg:10",
+            "--audit-split", "ck:seg:7",
+            "--audit-equidepth", "v:ck:8",
+        ],
+        spark=spark,
+    )
+    assert rc in (0, 1)
+    summary = json.load(open(os.path.join(report, "summary.json")))
+    sec = summary["table_audit"]
+    assert sec["kanon_cols"] == "nat,seg"
+    assert sec["split_rows"] >= 3
+    assert sec["equidepth_bins"] == 8
+    kan = spark.read.parquet(os.path.join(report, "audit_kanon.parquet")).first()
+    assert kan["n_rows"] == 400 and kan["n_groups"] == 21
+    eq = spark.read.parquet(os.path.join(report, "audit_equidepth.parquet"))
+    counts = [r["n"] for r in eq.collect()]
+    assert sum(counts) == 400 and max(counts) - min(counts) <= 1

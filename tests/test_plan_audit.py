@@ -55,6 +55,10 @@ ALLOW_BNLJ = {
     # inherits lm_surprisal's ONE-row vocab-scalar cross join (the
     # scoring subtree feeding the prune)
     "budget_prune",
+    # ONE-row total-count scalar cross join feeding the exact bin
+    # formula (same shape as lm_surprisal's vocab scalar); the rank
+    # itself comes from global_rank's bounded passes
+    "equidepth_histogram_price",
 }
 
 
@@ -221,3 +225,19 @@ def test_dedup_pipeline_has_no_unconditional_broadcast():
         "operators/dedup.py must not pin broadcasts on corpus-derived "
         "frames — use operators.skew.small_side"
     )
+
+
+def test_static_front_order_is_applied():
+    """The driver samples the FIRST 50 catalog entries; the committed
+    static order (no verdict-file reads, no import-time I/O) must
+    survive any future registry shuffling."""
+    from opengauss_tools_datachecker_performance_spark.entry_queries import (
+        _STATIC_FRONT,
+        ORACLES,
+    )
+
+    names = list(QUERIES)
+    assert names[: len(_STATIC_FRONT)] == _STATIC_FRONT
+    assert list(ORACLES)[: len(_STATIC_FRONT)] == [
+        n for n in _STATIC_FRONT if n in ORACLES
+    ]

@@ -1,0 +1,87 @@
+"""Wave-19 operators: deterministic splits, exact equi-depth
+histogram, k-anonymity audit."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opengauss_tools_datachecker_performance_spark.checks.distributions import (
+    equidepth_histogram,
+)
+from opengauss_tools_datachecker_performance_spark.checks.privacy import (
+    k_anonymity_audit,
+)
+from opengauss_tools_datachecker_performance_spark.operators.splits import (
+    hash_split,
+    split_report,
+)
+
+FRACS = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+
+
+def test_hash_split_stable_under_append(spark):
+    """Adding rows must not reassign existing ids — the leakage
+    property the seeded-hash wheel exists for."""
+    small = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(small, "doc_id", FRACS, 7).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(big, "doc_id", FRACS, 7).collect()}
+    assert all(b[k] == v for k, v in a.items())
+    assert set(b.values()) == {"train", "val", "test"}
+
+
+def test_hash_split_seed_changes_assignment(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id", FRACS, 7).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id", FRACS, 8).collect()}
+    assert any(a[k] != b[k] for k in a)
+
+
+def test_split_report_shares_sum_to_one(spark):
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("src")
+    )
+    rep = split_report(df, "doc_id", FRACS, group_col="src", seed=7).collect()
+    by_src: dict[str, float] = {}
+    for r in rep:
+        by_src[r["src"]] = by_src.get(r["src"], 0.0) + float(r["share"])
+    assert all(abs(v - 1.0) < 1e-4 for v in by_src.values())
+    # realized train share lands near the requested 0.9
+    train = sum(r["n_docs"] for r in rep if r["split"] == "train")
+    assert 0.85 < train / 3000 < 0.95
+
+
+def test_equidepth_histogram_exact_vs_bruteforce(spark):
+    import math
+
+    rows = [(float((i * 37) % 101), i) for i in range(500)]
+    df = spark.createDataFrame(rows, "v double, k long")
+    got = {
+        r["bin"]: (r["n"], r["v_lo"], r["v_hi"])
+        for r in equidepth_histogram(df, "v", ["k"], n_bins=8).collect()
+    }
+    ordered = sorted(rows)
+    n = len(ordered)
+    expect: dict[int, list[float]] = {}
+    for rank0, (v, _) in enumerate(ordered):
+        expect.setdefault(math.floor(rank0 * 8 / n), []).append(v)
+    assert set(got) == set(expect)
+    for b, vals in expect.items():
+        cnt, lo, hi = got[b]
+        assert cnt == len(vals)
+        assert float(lo) == min(vals) and float(hi) == max(vals)
+    # equi-DEPTH: bin counts within 1 of each other
+    counts = [got[b][0] for b in sorted(got)]
+    assert max(counts) - min(counts) <= 1
+
+
+def test_k_anonymity_audit_counts(spark):
+    # groups: (a: 5 rows), (b: 2 rows), (c: 1 row) with k=3
+    rows = [("a",)] * 5 + [("b",)] * 2 + [("c",)]
+    df = spark.createDataFrame(rows, "qi string")
+    r = k_anonymity_audit(df, ["qi"], k=3).first()
+    assert r["n_rows"] == 8 and r["n_groups"] == 3
+    assert r["n_small_groups"] == 2 and r["rows_at_risk"] == 3
+    assert r["min_group_size"] == 1 and r["k_anonymous"] is False
+    ok = k_anonymity_audit(df.filter(F.col("qi") == "a"), ["qi"], k=3).first()
+    assert ok["k_anonymous"] is True and ok["rows_at_risk"] == 0
