@@ -247,10 +247,12 @@ def main() -> None:
         "ann_index_query",
         "fd_discovery",
         "winnow_fingerprints",
-        # wave 19: release gates (splits, equi-depth, k-anonymity)
+        # wave 19: release gates (splits, equi-depth, k-anonymity,
+        # line-level boilerplate removal)
         "dataset_split",
         "equidepth_histogram_price",
         "k_anonymity",
+        "boilerplate_removal",
     ]
     if os.environ.get("SPARK_GRAFT_BENCH_OPS", "1") == "0":
         op_names = []

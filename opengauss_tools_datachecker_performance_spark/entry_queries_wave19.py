@@ -134,3 +134,81 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_audit(
         _t(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"], k=5
     )
+
+
+from opengauss_tools_datachecker_performance_spark.functions.hashing import (  # noqa: E402
+    portable_hash64_sql,
+)
+
+#: planted multi-line corpus: break lines on a literal ' the ' (same
+#: non-overlapping left-to-right replace in both engines) and append
+#: boilerplate footer lines to deterministic doc subsets
+_SQL_LINE_DOCS = """
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             replace(text, ' the ', chr(10))
+             || CASE WHEN doc_id % 4 = 0
+                     THEN chr(10) || 'subscribe to our newsletter'
+                     ELSE '' END
+             || CASE WHEN doc_id % 6 = 0
+                     THEN chr(10) || 'all rights reserved'
+                     ELSE '' END AS text
+      FROM documents
+"""
+
+
+@query(
+    "boilerplate_removal",
+    f"""
+    WITH d AS ({_SQL_LINE_DOCS}),
+    l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+    e AS (
+      SELECT doc_id, unnest(ls) AS line,
+             generate_subscripts(ls, 1) AS pos
+      FROM l
+    ),
+    freq AS (
+      SELECT line
+      FROM (SELECT line, COUNT(DISTINCT doc_id) AS nd FROM e GROUP BY 1)
+      WHERE nd >= 3
+    ),
+    kept AS (
+      SELECT e.doc_id, e.line, e.pos
+      FROM e LEFT JOIN freq f USING (line)
+      WHERE f.line IS NULL
+    ),
+    reb AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS clean
+      FROM kept GROUP BY 1
+    ),
+    tot AS (SELECT doc_id, len(ls)::BIGINT AS n_lines FROM l)
+    SELECT t.doc_id, t.n_lines,
+           CAST(t.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           {portable_hash64_sql("COALESCE(r.clean, '')")} AS clean_hash
+    FROM tot t LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level boilerplate removal
+    (operators.lines.remove_boilerplate_report): lines occurring in
+    ≥ 3 distinct docs are dropped; per-doc before/after counts plus
+    the portable hash of the cleaned text. Planted footers on doc_id
+    % 4 / % 6 subsets guarantee known boilerplate at every sf."""
+    from opengauss_tools_datachecker_performance_spark.operators.lines import (
+        remove_boilerplate_report,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.regexp_replace(F.col("text"), " the ", "\n"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("\nsubscribe to our newsletter"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 6 == 0, F.lit("\nall rights reserved")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return remove_boilerplate_report(d, min_docs=3)

@@ -85,3 +85,42 @@ def test_k_anonymity_audit_counts(spark):
     assert r["min_group_size"] == 1 and r["k_anonymous"] is False
     ok = k_anonymity_audit(df.filter(F.col("qi") == "a"), ["qi"], k=3).first()
     assert ok["k_anonymous"] is True and ok["rows_at_risk"] == 0
+
+
+def test_boilerplate_removal_exact(spark):
+    from opengauss_tools_datachecker_performance_spark.operators.lines import (
+        boilerplate_lines,
+        remove_boilerplate_report,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "unique a1\nfooter\nunique a2"),
+            ("b", "unique b1\nfooter"),
+            ("c", "footer\nunique c1"),
+            ("d", "unique d1"),
+            ("e", "footer\nfooter\nfooter"),  # within-doc repeats = 1 doc
+        ],
+        "doc_id string, text string",
+    )
+    boiler = {r["line"]: r["n_docs"] for r in boilerplate_lines(docs, min_docs=3).collect()}
+    assert boiler == {"footer": 4}  # distinct-doc counting, not row counting
+    rep = {r["doc_id"]: r for r in remove_boilerplate_report(docs, min_docs=3).collect()}
+    assert rep["a"]["n_lines"] == 3 and rep["a"]["n_removed"] == 1
+    assert rep["d"]["n_removed"] == 0
+    # doc e loses every line -> cleaned text is the empty string
+    assert rep["e"]["n_removed"] == 3
+    from opengauss_tools_datachecker_performance_spark.functions.hashing import (
+        portable_hash64,
+    )
+    empty_hash = (
+        spark.range(1).select(portable_hash64(F.lit("")).alias("h")).first()["h"]
+    )
+    assert rep["e"]["clean_hash"] == empty_hash
+    # kept lines preserve original order
+    clean_a_hash = (
+        spark.range(1)
+        .select(portable_hash64(F.lit("unique a1\nunique a2")).alias("h"))
+        .first()["h"]
+    )
+    assert rep["a"]["clean_hash"] == clean_a_hash
