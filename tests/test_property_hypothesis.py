@@ -174,3 +174,111 @@ def test_global_rank_property(spark, keys, n_buckets):
         for r in global_rank(df, ["k"], n_buckets=n_buckets).collect()
     }
     assert got == {k: i + 1 for i, k in enumerate(sorted(keys))}
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(-(10**6), 10**6), min_size=1, max_size=150
+    ),
+    n_bins=st.integers(1, 12),
+)
+def test_equidepth_histogram_property(spark, vals, n_bins):
+    """equidepth_histogram == the brute-force rank/bin fold for
+    ARBITRARY value multisets (duplicates, negatives, single value) at
+    any bin count: bin counts within 1, edges = per-bin min/max."""
+    import math
+
+    from opengauss_tools_datachecker_performance_spark.checks.distributions import (
+        equidepth_histogram,
+    )
+
+    rows = [(float(v), i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "v double, k long")
+    got = {
+        r["bin"]: (r["n"], float(r["v_lo"]), float(r["v_hi"]))
+        for r in equidepth_histogram(df, "v", ["k"], n_bins=n_bins).collect()
+    }
+    n = len(rows)
+    expect: dict[int, list[float]] = {}
+    for rank0, (v, _) in enumerate(sorted(rows)):
+        expect.setdefault(math.floor(rank0 * n_bins / n), []).append(v)
+    assert {
+        b: (len(vs), min(vs), max(vs)) for b, vs in expect.items()
+    } == got
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=150, unique=True),
+    seed=st.integers(0, 3),
+)
+def test_hash_split_partition_property(spark, ids, seed):
+    """hash_split assigns EVERY id exactly one split, identically for
+    the same (id, seed) regardless of what else is in the frame."""
+    from opengauss_tools_datachecker_performance_spark.operators.splits import (
+        hash_split,
+    )
+
+    fr = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    full = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id", fr, seed).collect()}
+    assert set(full) == set(ids)
+    assert all(s in {"train", "val", "test"} for s in full.values())
+    half_ids = ids[: max(1, len(ids) // 2)]
+    half = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            spark.createDataFrame([(i,) for i in half_ids], "doc_id long"),
+            "doc_id",
+            fr,
+            seed,
+        ).collect()
+    }
+    assert all(full[i] == half[i] for i in half_ids)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z", "footer", "nav"]), min_size=1, max_size=6),
+        min_size=1,
+        max_size=20,
+    ),
+    min_docs=st.integers(2, 4),
+)
+def test_boilerplate_removal_property(spark, docs, min_docs):
+    """remove_boilerplate_report == the brute-force Python fold for
+    arbitrary line multisets: distinct-doc frequency, per-doc removal
+    counts, order-preserving reconstruction."""
+    from opengauss_tools_datachecker_performance_spark.operators.lines import (
+        remove_boilerplate_report,
+    )
+
+    rows = [(str(i), "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    freq: dict[str, int] = {}
+    for _, text in rows:
+        for line in set(text.split("\n")):
+            freq[line] = freq.get(line, 0) + 1
+    boiler = {l for l, n in freq.items() if n >= min_docs}
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_removed"])
+        for r in remove_boilerplate_report(df, min_docs=min_docs).collect()
+    }
+    for doc_id, text in rows:
+        lines = text.split("\n")
+        removed = sum(1 for l in lines if l in boiler)
+        assert got[doc_id] == (len(lines), removed), (doc_id, boiler)
