@@ -253,6 +253,7 @@ def main() -> None:
         "equidepth_histogram_price",
         "k_anonymity",
         "boilerplate_removal",
+        "span_transitions",
     ]
     if os.environ.get("SPARK_GRAFT_BENCH_OPS", "1") == "0":
         op_names = []

@@ -161,3 +161,42 @@ def interleaved_profile(docs: DataFrame, partition_col: str = "part") -> DataFra
         .cast("decimal(10,6)")
         .alias("media_span_fraction"),
     )
+
+
+def span_transition_profile(
+    docs: DataFrame, spans_col: str = "spans"
+) -> DataFrame:
+    """Kind-bigram profile of the corpus → (from_kind, to_kind,
+    n_transitions): how spans interleave in sorted (offset) order,
+    with ``'^'`` marking document start.  The text↔media transition
+    mix is the structural fingerprint of an interleaved corpus — a
+    captioning-style corpus is dominated by text→media→text, a
+    scraped-gallery corpus by media→media runs — and a refresh that
+    shifts it signals an extraction-pipeline change even when counts
+    and token volumes stay flat.
+
+    Map-only per doc (sorted kinds → shifted zip), then one partial
+    aggregate over ≤ (#kinds+1)² keys — nothing corpus-sized shuffles.
+    """
+    s = _sorted_spans(F.col(spans_col))
+    kinds = F.transform(s, lambda sp: sp["kind"])
+    prev = F.concat(
+        F.array(F.lit("^")),
+        F.slice(kinds, 1, F.greatest(F.size(kinds) - 1, F.lit(0))),
+    )
+    trans = F.zip_with(
+        prev,
+        kinds,
+        lambda a, b: F.struct(a.alias("from_kind"), b.alias("to_kind")),
+    )
+    return (
+        docs.select(F.explode(trans).alias("t"))
+        # zip_with pads the shorter side with NULL: an empty span array
+        # yields ('^', NULL) — not a transition
+        .filter(F.col("t.to_kind").isNotNull())
+        .groupBy(
+            F.col("t.from_kind").alias("from_kind"),
+            F.col("t.to_kind").alias("to_kind"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )

@@ -1128,7 +1128,7 @@ _STATIC_FRONT = [
     "fd_discovery", "winnow_fingerprints",
     # wave 19 (round 4, new — need their first driver row):
     "dataset_split", "equidepth_histogram_price", "k_anonymity",
-    "boilerplate_removal",
+    "boilerplate_removal", "span_transitions",
 ]
 
 

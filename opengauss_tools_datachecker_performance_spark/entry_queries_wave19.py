@@ -212,3 +212,46 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return remove_boilerplate_report(d, min_docs=3)
+
+
+@query(
+    "span_transitions",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             least(ceil(len(string_split(text, ' ')) / 8.0)::INT, 6) AS nc,
+             (doc_id % 3 = 0) AS m
+      FROM documents
+    )
+    SELECT from_kind, to_kind, CAST(SUM(n) AS BIGINT) AS n_transitions
+    FROM (
+      SELECT '^' AS from_kind, 'text' AS to_kind, COUNT(*) AS n FROM b
+      UNION ALL
+      SELECT 'text', 'media', COUNT(*) FROM b WHERE m
+      UNION ALL
+      SELECT 'media', 'text', COUNT(*) FROM b WHERE m AND nc >= 2
+      UNION ALL
+      SELECT 'text', 'text',
+             SUM(CASE WHEN m THEN greatest(nc - 2, 0) ELSE nc - 1 END)
+      FROM b
+    )
+    GROUP BY 1, 2 HAVING SUM(n) > 0
+    """,
+)
+def q_span_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-kind transition profile over the derived interleaved docs
+    (checks.interleaved.span_transition_profile).  The oracle derives
+    the same counts ANALYTICALLY from the docs_from_documents
+    construction (chunk count + media placement at offset 1), so a
+    sort-order or zip-shift bug in the operator cannot agree with it
+    by accident."""
+    from opengauss_tools_datachecker_performance_spark.checks.interleaved import (
+        span_transition_profile,
+    )
+    from opengauss_tools_datachecker_performance_spark.sources.docs_builder import (
+        docs_from_documents,
+    )
+
+    return span_transition_profile(
+        docs_from_documents(_t(spark, sf_dir, "documents"))
+    )

@@ -124,3 +124,34 @@ def test_boilerplate_removal_exact(spark):
         .first()["h"]
     )
     assert rep["a"]["clean_hash"] == clean_a_hash
+
+
+def test_span_transition_profile_hand_case(spark):
+    from opengauss_tools_datachecker_performance_spark.checks.interleaved import (
+        span_transition_profile,
+    )
+
+    schema = (
+        "doc_id string, spans array<struct<"
+        "kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    docs = spark.createDataFrame(
+        [
+            # unsorted input: operator must order by offset first
+            ("a", [("media", None, "m1", 1), ("text", "t", None, 0),
+                   ("media", None, "m2", 2)]),
+            ("b", [("media", None, "m3", 0), ("media", None, "m4", 1)]),
+            ("c", []),
+        ],
+        schema,
+    )
+    got = {
+        (r["from_kind"], r["to_kind"]): r["n_transitions"]
+        for r in span_transition_profile(docs).collect()
+    }
+    assert got == {
+        ("^", "text"): 1,
+        ("text", "media"): 1,
+        ("media", "media"): 2,  # doc a m1->m2 AND doc b m3->m4
+        ("^", "media"): 1,
+    }
