@@ -542,6 +542,7 @@ def _run_interleaved_audit(spark: SparkSession, args) -> dict | None:
         interleaved_profile,
         media_context_audit,
         offset_integrity,
+        span_transition_profile,
     )
     from opengauss_tools_datachecker_performance_spark.sources.table_io import (
         load_table,
@@ -562,6 +563,8 @@ def _run_interleaved_audit(spark: SparkSession, args) -> dict | None:
     offset_integrity(docs).write.mode("overwrite").parquet(off_path)
     prof_path = os.path.join(args.report_dir, "interleaved_profile.parquet")
     interleaved_profile(docs).write.mode("overwrite").parquet(prof_path)
+    trans_path = os.path.join(args.report_dir, "span_transitions.parquet")
+    span_transition_profile(docs).write.mode("overwrite").parquet(trans_path)
     # counts off the written frames — no recompute
     audit = spark.read.parquet(audit_path)
     a = audit.agg(
@@ -574,6 +577,7 @@ def _run_interleaved_audit(spark: SparkSession, args) -> dict | None:
         f"({int(a['bad'])} lacking context), {n_off_docs} docs with "
         f"offset violations → {args.report_dir}"
     )
+    n_transitions = spark.read.parquet(trans_path).count()
     return {
         "min_words": args.interleaved_min_words,
         "n_media_spans": a["n"],
@@ -581,6 +585,8 @@ def _run_interleaved_audit(spark: SparkSession, args) -> dict | None:
         # DOC count (one row per bad doc); per-doc dup/neg/null counts
         # live in offset_integrity.parquet
         "n_offset_violation_docs": n_off_docs,
+        # distinct kind-bigram keys observed (profile rows, not volume)
+        "n_transition_kinds": n_transitions,
     }
 
 

@@ -408,6 +408,11 @@ def test_cli_interleaved_audit_and_snapshot_delta(spark, tmp_path):
     ia = summary["interleaved_audit"]
     assert ia["n_media_spans"] > 0 and ia["min_words"] == 2
     assert ia["n_offset_violation_docs"] == 0  # synth offsets are clean
+    assert ia["n_transition_kinds"] >= 2  # at least ^->text, text->text
+    trans = spark.read.parquet(
+        os.path.join(report, "span_transitions.parquet")
+    )
+    assert {r["from_kind"] for r in trans.collect()} >= {"^", "text"}
     sd = summary["snapshot_delta"]
     assert sd["n_partitions_touched"] > 0 and sd["n_buckets_touched"] > 0
     assert sd["old_snapshot"] == old_comp
