@@ -53,7 +53,13 @@ def hash_split(
     portable hash mod WHEEL, mapped through the cumulative-fraction
     slices.  Pure projection — no shuffle, no state, stable under
     appends (an id's slice never depends on other rows)."""
-    wheel = F.pmod(portable_hash64_seeded(F.col(id_col), seed), F.lit(WHEEL))
+    # NULL ids hash via a reserved sentinel on BOTH engines: Spark's
+    # concat_ws would silently drop a NULL component (hashing just the
+    # seed) while DuckDB's || propagates NULL (assigning no split) —
+    # the coalesce makes the two agree AND keeps NULL distinct from
+    # any real id string
+    id_str = F.coalesce(F.col(id_col).cast("string"), F.lit("\x00null"))
+    wheel = F.pmod(portable_hash64_seeded(id_str, seed), F.lit(WHEEL))
     expr = None
     for name, lo, hi in _wheel_bounds(fractions):
         cond = (wheel >= lo) & (wheel < hi)
@@ -62,8 +68,10 @@ def hash_split(
 
 
 def hash_split_sql(id_expr: str, fractions: list[tuple[str, float]], seed: int = 0) -> str:
-    """DuckDB rendering of the identical assignment (oracle parity)."""
-    wheel = f"(({portable_hash64_seeded_sql(id_expr, seed)}) % {WHEEL})"
+    """DuckDB rendering of the identical assignment (oracle parity),
+    including the NULL-id sentinel."""
+    safe = f"COALESCE(CAST({id_expr} AS VARCHAR), chr(0) || 'null')"
+    wheel = f"(({portable_hash64_seeded_sql(safe, seed)}) % {WHEEL})"
     cases = " ".join(
         f"WHEN {wheel} >= {lo} AND {wheel} < {hi} THEN '{name}'"
         for name, lo, hi in _wheel_bounds(fractions)

@@ -155,3 +155,29 @@ def test_span_transition_profile_hand_case(spark):
         ("media", "media"): 2,  # doc a m1->m2 AND doc b m3->m4
         ("^", "media"): 1,
     }
+
+
+def test_hash_split_null_id_parity(spark):
+    """NULL ids get a deterministic split via the reserved sentinel —
+    and the DuckDB rendering agrees (Spark's concat_ws drops NULLs
+    while DuckDB's || propagates them; the coalesce reconciles)."""
+    import duckdb
+
+    from opengauss_tools_datachecker_performance_spark.operators.splits import (
+        hash_split,
+        hash_split_sql,
+    )
+
+    fr = [("train", 0.5), ("rest", 0.5)]
+    df = spark.createDataFrame([(10,), (None,)], "doc_id long")
+    got = {
+        r["doc_id"]: r["split"] for r in hash_split(df, "doc_id", fr, 3).collect()
+    }
+    case = hash_split_sql("doc_id", fr, 3)
+    oracle = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"SELECT doc_id, {case} AS s FROM (VALUES (10), (NULL)) t(doc_id)"
+        ).fetchall()
+    }
+    assert got == oracle and None in got and got[None] is not None
