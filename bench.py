@@ -130,8 +130,10 @@ def main() -> None:
     # min-of-K: the sandbox host shows bursty external contention
     # (steal + lock-holder-preemption kernel storms; same job varies
     # 5-10× back-to-back), and min is the noise-robust estimator of
-    # the job's true cost on a quiet machine.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # the job's true cost on a quiet machine. K=5 (was 3): measured
+    # multi-hour load drifts make 3 samples too few for the min to
+    # find a quiet window; +2 reps ≈ +40 s bench wall, cheap.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     extras["n_docs"] = N_DOCS
     # SPARK_GRAFT_BENCH_RAW=0 skips the raw-layout flagship so a
     # companion-only scaling sweep's subprocesses measure one workload
