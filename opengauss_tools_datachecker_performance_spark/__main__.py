@@ -38,6 +38,7 @@ digest stage into a metadata-sized read.
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import uuid
@@ -64,6 +65,17 @@ def build_parser() -> argparse.ArgumentParser:
              "persisting counts in summary.json)",
     )
     p.add_argument("--resume", action="store_true", help="skip partitions already 'done' in the ledger")
+    p.add_argument(
+        "--streaming-demo", default=None, metavar="CHANGES_URI",
+        help="run the live micro-batch incremental re-check instead of "
+             "the batch validation: consume a change feed of (doc_id) "
+             "rows (directory of parquet files, or kafka://servers/"
+             "topic), IN-list re-check both tables per micro-batch "
+             "with the two-pass secondary-check ledger, and write "
+             "confirmed diffs to --report-dir/incremental_violations"
+             ".parquet + a streaming_demo.json summary; requires "
+             "--sink and --checkpoint-dir",
+    )
     p.add_argument("--partition-col", default="part")
     p.add_argument("--drift-threshold", type=float, default=0.15)
     p.add_argument(
@@ -760,6 +772,74 @@ def _run_table_audit(spark: SparkSession, args) -> dict | None:
     return section
 
 
+def _run_streaming_demo(spark: SparkSession, args, docs_source, docs_sink) -> int:
+    """--streaming-demo: the reference's incremental lifecycle as ONE
+    running Structured-Streaming job (IncrementCheckThread.java:140-232
+    / IncrementDataAnalysisService.java:102-170): change feed →
+    micro-batch IN-list re-check of both endpoints → two-pass
+    secondary-check ledger → confirmed-violation sink.
+
+    The feed is a directory of (doc_id) parquet files (the CI-runnable
+    double) or ``kafka://servers/topic`` (production) — the SAME
+    reader plumbing either way (streaming.incremental
+    plan_change_source).  ``maxFilesPerTrigger=1`` makes each file one
+    micro-batch, so the secondary check (a diff key confirms only when
+    it diffs in two consecutive batches) is exercised for real, not
+    simulated.  Processes everything available (blocking), stops the
+    query, and writes a streaming_demo.json summary; keys still
+    pending their second sighting are reported as such — a restarted
+    run picks the stream checkpoint back up.  Exit 1 when confirmed
+    diffs exist, 0 otherwise (mirrors the batch run's verdict exit
+    code)."""
+    from opengauss_tools_datachecker_performance_spark.streaming.incremental import (
+        IncrementalChecker,
+        open_change_source,
+    )
+
+    checker = IncrementalChecker(docs_source, docs_sink, args.report_dir)
+    stream = open_change_source(
+        spark, args.streaming_demo, max_files_per_trigger=1
+    )
+    query = checker.start(
+        stream,
+        checkpoint_dir=os.path.join(args.checkpoint_dir, "streaming_demo"),
+        trigger_seconds=1,
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    def _input_rows(progress) -> int:
+        if isinstance(progress, dict):
+            return int(progress.get("numInputRows", 0))
+        return int(getattr(progress, "numInputRows", 0))
+
+    n_batches = sum(1 for p in query.recentProgress if _input_rows(p) > 0)
+    summary = {
+        "change_source": args.streaming_demo,
+        "batches_with_data": n_batches,
+        "confirmed": [
+            {"key": k, "diff_type": dt, "batch_id": b}
+            for (k, dt, b) in checker.confirmed
+        ],
+        "n_confirmed": len(checker.confirmed),
+        # keys seen diffing once, awaiting their second consecutive
+        # sighting (the reference's secondary-check queue)
+        "n_pending_secondary": len(checker.pending),
+    }
+    os.makedirs(args.report_dir, exist_ok=True)
+    with open(
+        os.path.join(args.report_dir, "streaming_demo.json"), "w"
+    ) as fh:
+        json.dump(summary, fh, indent=2, sort_keys=True)
+    print(
+        f"[streaming-demo] {n_batches} micro-batches, "
+        f"{summary['n_confirmed']} confirmed diff keys, "
+        f"{summary['n_pending_secondary']} pending secondary check"
+    )
+    return 1 if checker.confirmed else 0
+
+
 def _run_snapshot_delta(
     spark: SparkSession, args, new_digests=None
 ) -> dict | None:
@@ -988,6 +1068,46 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         )
     if args.token_budget and not args.lm_surprisal:
         parser.error("--token-budget requires --lm-surprisal (the score source)")
+    if args.streaming_demo and (not args.sink or not args.checkpoint_dir):
+        parser.error(
+            "--streaming-demo requires --sink (the diff target) and "
+            "--checkpoint-dir (the stream's progress checkpoint)"
+        )
+    # malformed audit specs must be an argparse error up front, not an
+    # IndexError/ValueError traceback mid-run (a trailing ':' makes
+    # int('') raise; a missing tiebreak section makes parts[1] raise)
+    if args.audit_split is not None:
+        sp = args.audit_split.split(":")
+        if not sp[0] or len(sp) > 3 or (
+            len(sp) > 2 and not sp[2].lstrip("-").isdigit()
+        ):
+            parser.error(
+                "--audit-split expects IDCOL[:GROUPCOL[:SEED]] with an "
+                f"integer SEED, got {args.audit_split!r}"
+            )
+    if args.audit_equidepth is not None:
+        sp = args.audit_equidepth.split(":")
+        if (
+            not sp[0]
+            or len(sp) < 2
+            or not sp[1]
+            or any(not t for t in sp[1].split("+"))
+            or len(sp) > 3
+            or (len(sp) > 2 and not sp[2].isdigit())
+        ):
+            parser.error(
+                "--audit-equidepth expects COL:TIE1[+TIE2][:BINS] with "
+                f"an integer BINS, got {args.audit_equidepth!r}"
+            )
+    if args.audit_kanon is not None:
+        cols_part, _, k_str = args.audit_kanon.partition(":")
+        if not cols_part or any(not c for c in cols_part.split(",")) or (
+            k_str and not k_str.isdigit()
+        ):
+            parser.error(
+                "--audit-kanon expects QI1,QI2[,...][:K] with an "
+                f"integer K, got {args.audit_kanon!r}"
+            )
     if bool(args.decontaminate_table) != bool(args.decontaminate_benchmark):
         parser.error(
             "--decontaminate-table and --decontaminate-benchmark "
@@ -1016,6 +1136,13 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     docs_source = load_table(spark, args.source)
     docs_sink = load_table(spark, args.sink) if args.sink else None
     assets = load_table(spark, args.assets) if args.assets else None
+
+    if args.streaming_demo:
+        try:
+            return _run_streaming_demo(spark, args, docs_source, docs_sink)
+        finally:
+            if own_session:
+                spark.stop()
 
     # Body-free mode: swap each side for its digest companion after an
     # optional staleness audit. The raw tables stay loaded (schema-only

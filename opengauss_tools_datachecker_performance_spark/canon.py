@@ -152,9 +152,24 @@ def canon_oracle_number(c: Column, scale: int = 0) -> Column:
     for decimal inputs, overflow-free for doubles (Spark's % keeps the
     dividend's sign, so the subtraction moves toward zero for
     negatives too); the decimal cast then only relabels an
-    already-integral value."""
+    already-integral value.
+
+    Magnitudes beyond Spark's decimal(38,0) ceiling (only reachable
+    from DOUBLE inputs — Spark decimals max out at 38 digits) fall
+    back to :func:`canon_double_plain`: ``try_cast`` yields NULL
+    exactly when the truncated value overflows decimal(38,0) (where a
+    bare cast would abort under ANSI mode), and such doubles are
+    integral (ulp ≥ 1 from 2^52), so the full-precision plain
+    expansion IS the reference's toBigInteger() digit string.  A
+    38-digit decimal input (e.g. NUMBER(38) of all nines) stays on
+    the exact decimal path — a magnitude pre-check on the double cast
+    would mis-route it (it rounds UP to 1e38 as a double)."""
     if -84 <= scale <= 0:
-        return (c - (c % F.lit(1))).cast("decimal(38,0)").cast("string")
+        trunc = c - (c % F.lit(1))
+        return F.coalesce(
+            trunc.try_cast("decimal(38,0)").cast("string"),
+            canon_double_plain(trunc),
+        )
     return canon_double_plain(c)
 
 

@@ -41,8 +41,16 @@ def referential_violations(docs: DataFrame, assets: DataFrame) -> DataFrame:
         .filter((F.col("span.kind") == "media") & F.col("span.media_ref").isNotNull())
         .select("key", *carry, "span_idx", F.col("span.media_ref").alias("media_ref"))
     )
+    from opengauss_tools_datachecker_performance_spark.operators.skew import small_side
+
+    # bad_refs is violation-proportional: tiny in a healthy corpus,
+    # unbounded if the catalog is wholesale stale — exactly the case a
+    # validator must survive.  small_side leaves it unhinted under AQE
+    # (runtime size decides broadcast vs shuffle) and pins the
+    # broadcast only in the AQE-off diagnostic config, matching
+    # span_rules.py's validate hot path.
     bad_refs = dangling_media_refs(docs, assets)
-    return spans.join(F.broadcast(bad_refs), "media_ref", "left_semi").select(
+    return spans.join(small_side(bad_refs), "media_ref", "left_semi").select(
         "key", F.lit("referential").alias("constraint"), "span_idx", "media_ref", *carry
     )
 

@@ -41,26 +41,20 @@ def span_rule_violations(docs: DataFrame, assets: DataFrame | None) -> DataFrame
     )
     null_text = (F.col("kind") == "text") & F.col("text").isNull()
     if assets is not None:
+        from opengauss_tools_datachecker_performance_spark.operators.skew import (
+            small_side,
+        )
+
         bad_refs = dangling_media_refs(docs, assets).withColumn("is_bad", F.lit(True))
         # violation-sized in a healthy corpus but unbounded if the
-        # catalog is wholesale stale. With AQE on (production default)
-        # the RUNTIME size decides broadcast vs shuffle — that config
-        # handles the wholesale-stale case by degrading to a shuffle.
-        # With AQE off (a bench/diagnostic config) Catalyst's static
-        # estimate of the anti-join side can exceed the broadcast
-        # threshold and shuffle the corpus-sized exploded frame
-        # instead — pin the broadcast there. Deliberate trade: the
-        # pinned broadcast dies past Spark's broadcast limits if the
-        # catalog is wholesale stale AND AQE is off; that pathological
-        # combination should run with the AQE-on default.
-        aqe = (
-            docs.sparkSession.conf.get("spark.sql.adaptive.enabled", "true")
-            .lower()
-            == "true"
-        )
-        flagged = exploded.join(
-            bad_refs if aqe else F.broadcast(bad_refs), "media_ref", "left_outer"
-        )
+        # catalog is wholesale stale — small_side leaves it unhinted
+        # under AQE (production default: the RUNTIME size decides
+        # broadcast vs shuffle, so the wholesale-stale case degrades
+        # to a shuffle) and pins the broadcast only in the AQE-off
+        # diagnostic config, where Catalyst's static estimate can't
+        # see through the anti-join and would otherwise shuffle the
+        # corpus-sized exploded frame.
+        flagged = exploded.join(small_side(bad_refs), "media_ref", "left_outer")
         dangling = (F.col("kind") == "media") & F.coalesce(F.col("is_bad"), F.lit(False))
     else:
         flagged = exploded.withColumn("is_bad", F.lit(False))

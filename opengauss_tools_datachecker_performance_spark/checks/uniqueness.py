@@ -66,13 +66,18 @@ def duplicate_keys_from_digests(
     Returns (key, n_occurrences[, part=min part seen]).
 
     ``broadcast_hint``: the candidate set (duplicated k_hashes) is
-    ~violation-sized, so the hint is right for any healthy corpus and
-    measured +6 s without it at local[8]/AQE-off (interleaved A/B,
-    min-of-3: 44.8 s vs 51.0 s full validate). Pass False for a corpus
-    KNOWN to be duplicate-flooded, where the candidate set approaches
-    the input size and a forced broadcast would OOM the driver; with
-    AQE on (production default) the plain join still broadcasts
-    whenever the set actually fits."""
+    ~violation-sized — tiny in a healthy corpus, input-sized in a
+    duplicate-flooded one.  True routes it through
+    ``operators.skew.small_side``: unhinted under AQE (the production
+    default — the RUNTIME size decides broadcast vs shuffle, so a
+    flooded corpus degrades to a shuffle instead of OOMing the
+    driver), pinned broadcast only in the AQE-off diagnostic config
+    (where the static estimate can't see through the aggregation;
+    measured +6 s without the hint at local[8]/AQE-off, min-of-3:
+    44.8 s vs 51.0 s full validate).  Pass False to force the plain
+    join unconditionally."""
+    from opengauss_tools_datachecker_performance_spark.operators.skew import small_side
+
     candidates = (
         digests.groupBy("k_hash")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -80,7 +85,7 @@ def duplicate_keys_from_digests(
         .select("k_hash")
     )
     if broadcast_hint:
-        candidates = F.broadcast(candidates)
+        candidates = small_side(candidates)
     narrowed = digests.join(candidates, "k_hash", "left_semi")
     aggs = [F.count(F.lit(1)).alias("n_occurrences")]
     if "part" in digests.columns:

@@ -56,7 +56,8 @@ _TOKS = _SQL_WS_TOKS.format(t=_SQL_NORM.format(t="text"))
       GROUP BY doc_id
     )
     SELECT doc_id, n_shingles, n_shared,
-           n_shared::DOUBLE / n_shingles AS shared_frac,
+           CAST(CAST(round(n_shared::DOUBLE / n_shingles, 6)
+                     AS DECIMAL(10,6)) AS VARCHAR) AS shared_frac,
            n_shared >= 2 AS contaminated
     FROM agg
     """,
@@ -73,7 +74,13 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     bench = d.filter(F.col("doc_id") % 23 == 0)
-    return decontaminate(d, bench, min_shared=2)
+    out = decontaminate(d, bench, min_shared=2)
+    # Driver-hash-stable rendering of the double ratio (same expression
+    # IEEE-754-identical on both engines; round→decimal→string).
+    return out.withColumn(
+        "shared_frac",
+        F.round("shared_frac", 6).cast("decimal(10,6)").cast("string"),
+    )
 
 
 _SQL_REP_DOCS = """
@@ -113,13 +120,15 @@ _SQL_REP_DOCS = """
       FROM bc
     )
     SELECT b.doc_id, b.n_tokens, b.n_distinct_tokens,
-           CASE WHEN b.n_tokens > 0
+           CAST(CAST(round(CASE WHEN b.n_tokens > 0
                 THEN 1.0::DOUBLE - b.n_distinct_tokens::DOUBLE / b.n_tokens
-                ELSE 0.0::DOUBLE END AS dup_token_frac,
+                ELSE 0.0::DOUBLE END, 6) AS DECIMAL(10,6)) AS VARCHAR)
+               AS dup_token_frac,
            t.top_bigram,
-           COALESCE(CASE WHEN b.n_tokens > 0
+           CAST(CAST(round(COALESCE(CASE WHEN b.n_tokens > 0
                          THEN 2.0::DOUBLE * t.n / b.n_tokens END,
-                    0.0::DOUBLE) AS top_bigram_frac
+                    0.0::DOUBLE), 6) AS DECIMAL(10,6)) AS VARCHAR)
+               AS top_bigram_frac
     FROM base b
     LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
     """,
@@ -140,7 +149,13 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    return repetition_stats(d)
+    out = repetition_stats(d)
+    return out.withColumns(
+        {
+            c: F.round(c, 6).cast("decimal(10,6)").cast("string")
+            for c in ("dup_token_frac", "top_bigram_frac")
+        }
+    )
 
 
 _SQL_PII_DOCS = """

@@ -346,7 +346,8 @@ def q_status_register(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _COLRULE_SQL = """
-    SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_shipdate
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+           strftime(l_shipdate, '%Y-%m-%d') AS l_shipdate
     FROM lineitem WHERE l_orderkey % 199 = 0
 """
 
@@ -354,12 +355,18 @@ _COLRULE_SQL = """
 @query("column_rule_projection", _COLRULE_SQL)
 def q_column_rule_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1: include-rule projection; PK columns auto-retained even when
-    absent from the include list (SelectSqlBuilder.java:54-120)."""
+    absent from the include list (SelectSqlBuilder.java:54-120).
+    The projected timestamp is rendered as a date string so every
+    output column is driver-hash-stable (TZ-independent: timestamp_ntz
+    formatted wall-clock on both engines)."""
     from opengauss_tools_datachecker_performance_spark.checks.rules import ColumnRule
 
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 199 == 0)
     rule = ColumnRule(include=["l_returnflag", "l_linestatus", "l_shipdate"])
-    return rule.apply(li, pk_cols=["l_orderkey", "l_linenumber"])
+    out = rule.apply(li, pk_cols=["l_orderkey", "l_linenumber"])
+    return out.withColumn(
+        "l_shipdate", F.date_format("l_shipdate", "yyyy-MM-dd")
+    )
 
 
 # ---------------------------------------------------------------------------

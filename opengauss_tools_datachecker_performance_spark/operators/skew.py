@@ -9,8 +9,10 @@ Where skew can and cannot bite this engine:
 * **The diff join** keys on ``doc_id`` (unique per side ⇒ ≤ 2 rows per
   key) — no hot keys possible.
 * **The referential join** distincts media refs before the anti-join
-  and broadcasts the dangling set — a media_ref referenced by millions
-  of spans is collapsed map-side first.
+  and routes the dangling set through :func:`small_side` (AQE runtime
+  sizing) — a media_ref referenced by millions of spans is collapsed
+  map-side first, and a wholesale-stale catalog degrades to a shuffle
+  instead of a driver OOM.
 * What remains is **physical-partition skew**: a hot ``part`` (or a
   hot doc_id prefix feeding a partitioner) makes one TASK heavy in any
   per-partition pass. Two levers, both here:

@@ -58,9 +58,9 @@ def windowed_change_rate(
     ).alias("w")
     # window length in seconds, derived from the window struct itself
     # so the rate denominator always matches the requested duration.
-    # timestamp_diff (not unix_timestamp subtraction): exact wall-clock
-    # seconds whatever the session TZ — a window straddling a DST jump
-    # in a non-UTC driver session would otherwise skew the denominator
+    # timestamp_diff expresses that directly; unix_timestamp
+    # subtraction would be equivalent (on TIMESTAMP inputs it returns
+    # TZ-independent epoch seconds — no DST skew in either form)
     dur = F.timestamp_diff("SECOND", F.col("w.start"), F.col("w.end"))
     aggs = [F.count(F.lit(1)).alias("n_events")]
     if value_col is not None:

@@ -176,27 +176,17 @@ _HASH_STABLE_TYPES = (
     BooleanType,
 )
 
-#: grandfathered pre-gate columns, each verified driver-green AND
-#: exact-cell-equal under scripts/driver_hash_repro.py: timestamp_ntz
-#: reaches datetime64[us] from BOTH engines; these doubles are the
-#: same IEEE-754 expression on both sides (no rounding involved).
-#: Do NOT add new entries here — canonicalize instead.
-_GRANDFATHERED_COLUMNS = {
-    "column_rule_projection": {"l_shipdate"},  # timestamp_ntz, green r01/r02
-    "decontaminate": {"shared_frac"},  # double, green r03
-    "repetition_stats": {"dup_token_frac", "top_bigram_frac"},  # green r02
-}
-
-
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_catalog_output_schema_hash_stable(spark, name):
+    # No grandfathered exemptions: the round-4 leftovers (timestamp /
+    # double columns in column_rule_projection, decontaminate,
+    # repetition_stats) were canonicalized in round 5 — every catalog
+    # output column must be string/int/bigint/boolean, no exceptions.
     schema = QUERIES[name](spark, SF).schema
-    allowed = _GRANDFATHERED_COLUMNS.get(name, set())
     offenders = [
         f"{f.name}: {f.dataType.simpleString()}"
         for f in schema.fields
         if not isinstance(f.dataType, _HASH_STABLE_TYPES)
-        and f.name not in allowed
     ]
     assert not offenders, (
         f"{name}: driver-hash-unstable output column(s) {offenders} — "
@@ -206,24 +196,36 @@ def test_catalog_output_schema_hash_stable(spark, name):
 
 
 # --- broadcast discipline on corpus-proportional frames ---------------
-# Candidate-pair sets and stop-shingle sets grow with corpus near-dup
-# density / vocabulary: an unconditional F.broadcast hint on them is a
-# driver OOM at 100 TB.  They must route through
-# operators.skew.small_side (AQE runtime size check decides).  Bounded
-# frames (centroids, per-partition offsets, one-row scalars) may still
-# hint statically — this gate only polices the dedup pair pipeline,
-# where every join side is corpus-derived.
+# Candidate-pair sets, stop-shingle sets, duplicated-hash candidate
+# sets, and dangling-reference sets grow with corpus near-dup density /
+# vocabulary / violation rate: an unconditional F.broadcast hint on
+# them is a driver OOM at 100 TB (a validator must survive the
+# pathological corpus — that is its job).  They must route through
+# operators.skew.small_side (AQE runtime size check decides; pinned
+# only in the AQE-off diagnostic config).  Bounded frames (centroids,
+# per-partition offsets, one-row scalars) may still hint statically —
+# this gate polices every module whose join sides are corpus- or
+# violation-proportional.
+
+_NO_PINNED_BROADCAST_MODULES = [
+    # every join side corpus-derived (pair pipeline)
+    "opengauss_tools_datachecker_performance_spark.operators.dedup",
+    # violation-proportional frames: dangling refs, duplicate k_hashes
+    "opengauss_tools_datachecker_performance_spark.checks.referential",
+    "opengauss_tools_datachecker_performance_spark.checks.span_rules",
+    "opengauss_tools_datachecker_performance_spark.checks.uniqueness",
+]
 
 
-def test_dedup_pipeline_has_no_unconditional_broadcast():
+@pytest.mark.parametrize("modname", _NO_PINNED_BROADCAST_MODULES)
+def test_no_unconditional_broadcast(modname):
+    import importlib
     import inspect
 
-    from opengauss_tools_datachecker_performance_spark.operators import dedup
-
-    src = inspect.getsource(dedup)
+    src = inspect.getsource(importlib.import_module(modname))
     assert "F.broadcast(" not in src, (
-        "operators/dedup.py must not pin broadcasts on corpus-derived "
-        "frames — use operators.skew.small_side"
+        f"{modname} must not pin broadcasts on corpus-/violation-"
+        "proportional frames — use operators.skew.small_side"
     )
 
 

@@ -261,3 +261,83 @@ def test_plan_change_source_file_double():
     assert fmt == "parquet" and path == "/tmp/changes"
     assert options == {"maxFilesPerTrigger": "4"}
     assert schema == "doc_id string"
+
+
+def test_streaming_demo_cli_end_to_end(corpus, spark, tmp_path):
+    """--streaming-demo: the full CLI lifecycle — change-key files →
+    micro-batch IN-list re-check → two-pass confirm → violation sink +
+    summary JSON (IncrementCheckThread.java:140-232 as one job)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opengauss_tools_datachecker_performance_spark.__main__ import main
+
+    src, sink = corpus["docs_source"], corpus["docs_sink"]
+    bad = sorted(
+        r.doc_id
+        for r in corpus["violations_expected"]
+        .filter(F.col("vclass") == "missing_doc")
+        .limit(2)
+        .collect()
+    )
+    good = [
+        r.doc_id
+        for r in src.join(
+            corpus["violations_expected"], "doc_id", "left_anti"
+        ).limit(1).collect()
+    ]
+    src_path = str(tmp_path / "src.parquet")
+    sink_path = str(tmp_path / "sink.parquet")
+    src.write.mode("overwrite").parquet(src_path)
+    sink.write.mode("overwrite").parquet(sink_path)
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    # the bad keys appear in BOTH drops: with maxFilesPerTrigger=1 each
+    # file is one micro-batch, so they diff in two consecutive batches
+    # and must confirm regardless of file pickup order
+    for name, keys in (("b0.parquet", bad + good), ("b1.parquet", bad)):
+        pq.write_table(
+            pa.table({"doc_id": pa.array(keys, type=pa.string())}),
+            str(feed / name),
+        )
+    out_dir = tmp_path / "out"
+    rc = main(
+        [
+            "--source", src_path,
+            "--sink", sink_path,
+            "--report-dir", str(out_dir),
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+            "--streaming-demo", str(feed),
+        ],
+        spark=spark,
+    )
+    assert rc == 1  # confirmed diffs ⇒ verdict exit code
+    summary = json.load(open(out_dir / "streaming_demo.json"))
+    assert summary["n_confirmed"] == 2
+    assert sorted(c["key"] for c in summary["confirmed"]) == bad
+    assert summary["batches_with_data"] == 2
+    assert summary["n_pending_secondary"] == 0
+    viol = spark.read.parquet(
+        str(out_dir / "incremental_violations.parquet")
+    )
+    assert sorted(r["key"] for r in viol.collect()) == bad
+    # the clean key must never be reported
+    assert good[0] not in {r["key"] for r in viol.collect()}
+
+
+def test_streaming_demo_requires_sink_and_checkpoint():
+    import pytest as _pytest
+
+    from opengauss_tools_datachecker_performance_spark.__main__ import main
+
+    with _pytest.raises(SystemExit) as exc:
+        main(
+            [
+                "--source", "s.parquet",
+                "--report-dir", "out",
+                "--streaming-demo", "feed/",
+            ]
+        )
+    assert exc.value.code == 2
