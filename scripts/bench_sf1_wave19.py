@@ -18,11 +18,15 @@ Corpus construction (deterministic):
   doc counts scale 10x — the honest "same plan, 10x rows through the
   distinct-pair aggregate" probe.
 
-Plan identity: explain('formatted') strings with runtime identifiers
-(plan ids, partition counts, stats annotations) stripped must be EQUAL
-across scales — growth may change numbers, never operators.
+Plan identity: the OPTIMIZED LOGICAL plan (ids normalized) must be
+EQUAL across scales — growth may change numbers, never the operator
+DAG.  The PHYSICAL join strategies are reported as info and may
+legitimately shift with size (Catalyst/AQE's whole job: e.g. the
+boilerplate report's totals⟕rebuilt join is a broadcast join at 1x
+and a sort-merge join at 10x, both from the same logical plan —
+that shift IS the 100-TB story, not a plan instability).
 
-Usage: python scripts/bench_sf1_wave19.py
+Usage: python scripts/bench_sf1_wave19.py [repA repB]   # default 1 10
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32).
 """
@@ -67,10 +71,10 @@ def build_docs(spark, sf_dir: str, rep: int):
     return (
         base.crossJoin(reps)
         .select(
-            # fixed stride 16 (> max rep), NOT rep: `* 1` would
+            # fixed stride 128 (> max rep), NOT rep: `* 1` would
             # constant-fold away at rep=1 and make the two scales'
             # plans differ in the harness's own projection
-            (F.col("doc_id") * 16 + F.col("r")).alias("doc_id"),
+            (F.col("doc_id") * 128 + F.col("r")).alias("doc_id"),
             F.when(
                 F.col("doc_id") % 3 == 0,
                 F.concat(marked, F.lit("\n" + FOOTER)),
@@ -81,6 +85,25 @@ def build_docs(spark, sf_dir: str, rep: int):
             (F.length("text") + F.col("r")).cast("double").alias("val"),
         )
         .repartition(64)
+    )
+
+
+def logical_shape(df) -> str:
+    """Optimized logical plan with ids/sizes normalized: the
+    size-independent operator DAG."""
+    s = df._jdf.queryExecution().optimizedPlan().toString()
+    s = re.sub(r"#\d+L?", "#N", s)
+    s = re.sub(r"\d+", "N", s)
+    return s
+
+
+def join_strategies(df) -> list[str]:
+    """Physical join operators chosen for this frame (static plan)."""
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return sorted(
+        set(re.findall(r"(\w*(?:HashJoin|MergeJoin|NestedLoopJoin))", buf.getvalue()))
     )
 
 
@@ -101,12 +124,16 @@ def run_scale(spark, sf_dir: str, rep: int) -> dict:
     n_docs = docs.count()
 
     eq = equidepth_histogram(docs, "val", ["doc_id"], n_bins=16)
+    static_eq = logical_shape(eq)
+    js_eq = join_strategies(eq)
     t0 = time.time()
     eq_rows = eq.collect()
     t_eq = time.time() - t0
     depths = [int(r["n"]) for r in eq_rows]
 
     bp = remove_boilerplate_report(docs, min_docs=3)
+    static_bp = logical_shape(bp)
+    js_bp = join_strategies(bp)
     t1 = time.time()
     bp_agg = bp.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -114,10 +141,6 @@ def run_scale(spark, sf_dir: str, rep: int) -> dict:
     ).collect()[0]
     t_bp = time.time() - t1
 
-    shapes = {
-        "equidepth": plan_shape(eq),
-        "boilerplate": plan_shape(bp),
-    }
     docs.unpersist()
     return {
         "rep": rep,
@@ -128,15 +151,26 @@ def run_scale(spark, sf_dir: str, rep: int) -> dict:
         "boilerplate_sec": round(t_bp, 1),
         "boilerplate_docs": int(bp_agg["n_docs"]),
         "boilerplate_removed": int(bp_agg["n_removed"]),
-        "_shapes": shapes,
+        # logical shapes captured pre-execution (size-independent
+        # invariant); the physical join strategies are the engine's
+        # size-adaptive choice, reported as info
+        "_shapes": {
+            "equidepth": static_eq,
+            "boilerplate": static_bp,
+        },
+        "join_strategies": {
+            "equidepth": js_eq,
+            "boilerplate": js_bp,
+        },
     }
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = [int(x) for x in sys.argv[1:3]] or [1, 10]
     spark = get_spark(app_name="sf1-wave19", shuffle_partitions=64)
-    a = run_scale(spark, sf_dir, 1)
-    b = run_scale(spark, sf_dir, 10)
+    a = run_scale(spark, sf_dir, reps[0])
+    b = run_scale(spark, sf_dir, reps[1])
     same_plans = {
         k: a["_shapes"][k] == b["_shapes"][k] for k in a["_shapes"]
     }
@@ -158,7 +192,7 @@ def main() -> None:
                     / max(a["boilerplate_removed"], 1),
                     2,
                 ),
-                "plans_identical": same_plans,
+                "logical_plans_identical": same_plans,
             }
         )
     )

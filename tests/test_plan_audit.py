@@ -243,3 +243,23 @@ def test_static_front_order_is_applied():
     assert list(ORACLES)[: len(_STATIC_FRONT)] == [
         n for n in _STATIC_FRONT if n in ORACLES
     ]
+
+
+def test_rotation_cohort_contract():
+    """The front-50 contract: 25 permanent core + 25 rotating cohort,
+    disjoint, every name a real catalog entry, and the total exactly
+    fills the driver's sample window — an off-by-one here silently
+    drops an entry out of external verification."""
+    from opengauss_tools_datachecker_performance_spark.entry_queries import (
+        _PERMANENT_CORE,
+        _ROUND_COHORT,
+        _STATIC_FRONT,
+    )
+
+    assert len(_PERMANENT_CORE) == 25
+    assert len(_ROUND_COHORT) == 25
+    assert len(_STATIC_FRONT) == 50
+    assert not set(_PERMANENT_CORE) & set(_ROUND_COHORT)
+    assert len(set(_STATIC_FRONT)) == 50
+    missing = [n for n in _STATIC_FRONT if n not in QUERIES]
+    assert not missing, f"front-50 names not in the catalog: {missing}"
