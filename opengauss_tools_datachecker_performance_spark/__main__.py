@@ -1346,8 +1346,11 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                     snapshot_delta=snap_section,
                     table_audit=taudit_section,
                 )
-            except Exception:
-                pass
+            except Exception as exc:
+                # best-effort summary refresh over a PREVIOUS run's
+                # leftovers — its failure must not fail THIS run's
+                # (already-written) sections, but it must be visible
+                print(f"[summary] WARNING: refresh skipped: {exc}")
             if own_session:
                 spark.stop()
             return 0
