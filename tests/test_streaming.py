@@ -341,3 +341,78 @@ def test_streaming_demo_requires_sink_and_checkpoint():
             ]
         )
     assert exc.value.code == 2
+
+
+def test_streaming_demo_checkpoint_resume(corpus, spark, tmp_path):
+    """A restarted --streaming-demo run picks up the stream checkpoint:
+    already-processed change files are NOT re-read (no duplicate
+    confirmations), new drops are; confirmations from the first run
+    survive on disk."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opengauss_tools_datachecker_performance_spark.__main__ import main
+
+    src, sink = corpus["docs_source"], corpus["docs_sink"]
+    # two DIFFERENT violation classes: the planted missing_doc set can
+    # be as small as the two keys the first run consumes
+    first = sorted(
+        r.doc_id
+        for r in corpus["violations_expected"]
+        .filter(F.col("vclass") == "missing_doc")
+        .limit(2)
+        .collect()
+    )
+    second = sorted(
+        r.doc_id
+        for r in corpus["violations_expected"]
+        .filter(F.col("vclass") == "corrupt_text")
+        .limit(2)
+        .collect()
+    )
+    assert len(first) == 2 and len(second) == 2
+    bad = sorted(first + second)
+    src_path = str(tmp_path / "src.parquet")
+    sink_path = str(tmp_path / "sink.parquet")
+    src.write.mode("overwrite").parquet(src_path)
+    sink.write.mode("overwrite").parquet(sink_path)
+    feed = tmp_path / "feed"
+    feed.mkdir()
+
+    def drop(name, keys):
+        pq.write_table(
+            pa.table({"doc_id": pa.array(keys, type=pa.string())}),
+            str(feed / name),
+        )
+
+    argv = [
+        "--source", src_path,
+        "--sink", sink_path,
+        "--report-dir", str(tmp_path / "out"),
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        "--streaming-demo", str(feed),
+    ]
+    drop("b0.parquet", first)
+    drop("b1.parquet", first)
+    assert main(argv, spark=spark) == 1
+    s1 = json.load(open(tmp_path / "out" / "streaming_demo.json"))
+    assert sorted(c["key"] for c in s1["confirmed"]) == first
+
+    # restart with two NEW drops: the old files are behind the stream
+    # checkpoint, so run 2 sees exactly two batches and confirms only
+    # the second key pair (pending state is driver-memory: the new
+    # keys need their own two sightings, which b2+b3 provide)
+    drop("b2.parquet", second)
+    drop("b3.parquet", second)
+    assert main(argv, spark=spark) == 1
+    s2 = json.load(open(tmp_path / "out" / "streaming_demo.json"))
+    assert sorted(c["key"] for c in s2["confirmed"]) == second
+    assert s2["batches_with_data"] == 2  # b0/b1 NOT re-processed
+    # first run's confirmations survive in the violation sink
+    # alongside the second run's (per-batch subdirs are append-safe)
+    viol = spark.read.parquet(
+        str(tmp_path / "out" / "incremental_violations.parquet")
+    )
+    assert sorted({r["key"] for r in viol.collect()}) == sorted(bad)
