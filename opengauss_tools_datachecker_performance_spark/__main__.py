@@ -1068,11 +1068,22 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         )
     if args.token_budget and not args.lm_surprisal:
         parser.error("--token-budget requires --lm-surprisal (the score source)")
-    if args.streaming_demo and (not args.sink or not args.checkpoint_dir):
-        parser.error(
-            "--streaming-demo requires --sink (the diff target) and "
-            "--checkpoint-dir (the stream's progress checkpoint)"
+    if args.streaming_demo:
+        if not args.sink or not args.checkpoint_dir:
+            parser.error(
+                "--streaming-demo requires --sink (the diff target) and "
+                "--checkpoint-dir (the stream's progress checkpoint)"
+            )
+        # a malformed kafka:// uri must be an argparse error up front,
+        # not a ValueError traceback after the tables are loaded
+        from opengauss_tools_datachecker_performance_spark.streaming.incremental import (
+            plan_change_source,
         )
+
+        try:
+            plan_change_source(args.streaming_demo)
+        except ValueError as exc:
+            parser.error(str(exc))
     # malformed audit specs must be an argparse error up front, not an
     # IndexError/ValueError traceback mid-run (a trailing ':' makes
     # int('') raise; a missing tiebreak section makes parts[1] raise)

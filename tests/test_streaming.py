@@ -416,3 +416,21 @@ def test_streaming_demo_checkpoint_resume(corpus, spark, tmp_path):
         str(tmp_path / "out" / "incremental_violations.parquet")
     )
     assert sorted({r["key"] for r in viol.collect()}) == sorted(bad)
+
+
+def test_streaming_demo_malformed_kafka_uri_is_argparse_error():
+    import pytest as _pytest
+
+    from opengauss_tools_datachecker_performance_spark.__main__ import main
+
+    with _pytest.raises(SystemExit) as exc:
+        main(
+            [
+                "--source", "s.parquet",
+                "--sink", "k.parquet",
+                "--report-dir", "out",
+                "--checkpoint-dir", "ckpt",
+                "--streaming-demo", "kafka://brokeronly",  # no /topic
+            ]
+        )
+    assert exc.value.code == 2
