@@ -19,25 +19,33 @@
 # Run it before every round snapshot and log the result in
 # PROGRESS.jsonl:
 #   bash scripts/round_gate.sh [sf_dir]        # default sf0.01
+#   bash scripts/round_gate.sh --all [sf_dir]  # front-50 included
 #
-# Exit code 0 = every back-catalog entry green on all three passes.
+# --all additionally sweeps the front-50 (the entries the driver WILL
+# sample) — the belt-and-braces pass before a final snapshot.
+#
+# Exit code 0 = every swept entry green on all three passes.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+SCOPE="back"
+if [ "${1:-}" = "--all" ]; then SCOPE="all"; shift; fi
 SF_DIR="${1:-/root/testdata/sf0.01}"
 SHIFT_TZ="${ROUND_GATE_TZ:-Pacific/Kiritimati}"
 
-BACK=$(python - <<'EOF'
+BACK=$(SCOPE="$SCOPE" python - <<'EOF'
+import os
 import sys
 sys.path.insert(0, ".")
 import __spark_entry__ as m
 
 names = list(m.queries())
-print(" ".join(names[50:]))
+start = 0 if os.environ.get("SCOPE") == "all" else 50
+print(" ".join(names[start:]))
 EOF
 )
 
-echo "== round gate: $(echo $BACK | wc -w) back-catalog entries at $SF_DIR =="
+echo "== round gate ($SCOPE): $(echo $BACK | wc -w) entries at $SF_DIR =="
 echo "-- pass 1/3: strict local oracle sweep --"
 python scripts/check_correctness.py --strict "$SF_DIR" $BACK
 echo "-- pass 2/3: driver-path pandas hash repro --"
