@@ -328,6 +328,14 @@ def build_parser() -> argparse.ArgumentParser:
              "audit_split.parquet",
     )
     p.add_argument(
+        "--source-overlap", default=None,
+        metavar="TABLE[:SRCCOL[:TEXTCOL]]",
+        help="across-source exact-content overlap matrix (distinct-"
+             "fingerprint Jaccard + containment fractions per source "
+             "pair; default columns source/text) → "
+             "source_overlap.parquet",
+    )
+    p.add_argument(
         "--audit-equidepth", default=None,
         metavar="COL:TIE1[+TIE2][:BINS]",
         help="exact equi-depth histogram of COL (unique order via the "
@@ -407,6 +415,44 @@ def _run_decontamination(spark: SparkSession, args) -> dict | None:
         "min_shared": args.decontaminate_min_shared,
         "n_contaminated": n_flagged,
     }
+
+
+def _run_source_overlap(spark: SparkSession, args) -> None:
+    """Run the --source-overlap across-source exact-content matrix (if
+    requested) → source_overlap.parquet (one row per co-occurring
+    source pair: distinct-fingerprint Jaccard + both containment
+    fractions) plus a dropped-fingerprint coverage count printed when
+    the near-universal-boilerplate cap fired."""
+    if not args.source_overlap:
+        return
+    from opengauss_tools_datachecker_performance_spark.operators.dedup import (
+        release,
+        source_overlap_matrix,
+    )
+    from opengauss_tools_datachecker_performance_spark.sources.table_io import (
+        load_table,
+    )
+
+    parts = args.source_overlap.split(":")
+    table, src_col, text_col = (
+        parts[0],
+        parts[1] if len(parts) > 1 and parts[1] else "source",
+        parts[2] if len(parts) > 2 and parts[2] else "text",
+    )
+    t = load_table(spark, table)
+    cov: dict = {}
+    out = source_overlap_matrix(
+        t, text_col=text_col, source_col=src_col, coverage_out=cov
+    )
+    path = os.path.join(args.report_dir, "source_overlap.parquet")
+    out.write.mode("overwrite").parquet(path)
+    n = spark.read.parquet(path).count()
+    dropped = cov["overlap_dropped_fps"].count()
+    release(cov)
+    msg = f"[source-overlap] {n} co-occurring source pairs → {path}"
+    if dropped:
+        msg += f" ({dropped} near-universal fingerprints capped out)"
+    print(msg)
 
 
 def _run_corpus_stats(spark: SparkSession, args) -> dict | None:
@@ -1110,6 +1156,13 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 "--audit-equidepth expects COL:TIE1[+TIE2][:BINS] with "
                 f"an integer BINS, got {args.audit_equidepth!r}"
             )
+    if args.source_overlap is not None:
+        sp = args.source_overlap.split(":")
+        if not sp[0] or len(sp) > 3:
+            parser.error(
+                "--source-overlap expects TABLE[:SRCCOL[:TEXTCOL]], "
+                f"got {args.source_overlap!r}"
+            )
     if args.audit_kanon is not None:
         cols_part, _, k_str = args.audit_kanon.partition(":")
         if not cols_part or any(not c for c in cols_part.split(",")) or (
@@ -1333,6 +1386,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             # must surface, so it stays outside the refresh try)
             decon_section = _run_decontamination(spark, args)
             subdup_section = _run_substring_dedup(spark, args)
+            _run_source_overlap(spark, args)
             cstats_section = _run_corpus_stats(spark, args)
             inter_section = _run_interleaved_audit(spark, args)
             snap_section = _run_snapshot_delta(spark, args)
@@ -1666,6 +1720,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             )
     decon_section = _run_decontamination(spark, args)
     subdup_section = _run_substring_dedup(spark, args)
+    _run_source_overlap(spark, args)
     cstats_section = _run_corpus_stats(spark, args)
     inter_section = _run_interleaved_audit(spark, args)
     snap_section = _run_snapshot_delta(spark, args, new_digests=snap_digests)

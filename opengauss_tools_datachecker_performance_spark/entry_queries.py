@@ -1097,6 +1097,7 @@ from opengauss_tools_datachecker_performance_spark import entry_queries_wave16  
 from opengauss_tools_datachecker_performance_spark import entry_queries_wave17  # noqa: E402,F401
 from opengauss_tools_datachecker_performance_spark import entry_queries_wave18  # noqa: E402,F401
 from opengauss_tools_datachecker_performance_spark import entry_queries_wave19  # noqa: E402,F401
+from opengauss_tools_datachecker_performance_spark import entry_queries_wave20  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # driver sampling order — STATIC, committed, verdict-independent

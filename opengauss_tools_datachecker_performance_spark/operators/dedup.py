@@ -921,3 +921,86 @@ def winnow_fingerprints(
         .dropDuplicates(["doc_id", "pos", "fp"])
     )
     return picked
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    max_sources_per_fp: int = 64,
+    coverage_out: dict | None = None,
+) -> DataFrame:
+    """Pairwise EXACT-content overlap between sources →
+    ``(source_a, source_b, n_a, n_b, n_shared, jaccard, frac_a_in_b,
+    frac_b_in_a)`` for every source pair sharing ≥ 1 content
+    fingerprint — the curation question "how much of source B is
+    already in source A" (dedup_rate_by_group answers the WITHIN-
+    source dual; this is the ACROSS-source matrix that decides which
+    feed to drop from a mixture).
+
+    ``n_a``/``n_b`` count DISTINCT fingerprints per source (document
+    multiplicity within a source is the other report's business);
+    ``jaccard`` = |A∩B| / |A∪B|; ``frac_a_in_b`` = |A∩B| / |A| (the
+    share of A's distinct content that also appears in B).  Ratios
+    render as 6-dp decimal strings (driver-hash-stable, exact same
+    IEEE expression on both engines).
+
+    Scale (10^12 docs): one fingerprint projection; ``distinct`` on
+    (source, fp) collapses map-side before its exchange; the pair
+    self-join is keyed on fp where each key carries at most
+    ``max_sources_per_fp`` rows — near-universal boilerplate
+    fingerprints (present in more sources than the cap) are dropped
+    with the same coverage-ledger accounting as the LSH bucket caps
+    (``coverage_out['overlap_dropped_fps']``), never silently, so the
+    worst join fan-out per key is capped at S² with S ≤ the cap.  The
+    bounded per-source size frame joins through
+    :func:`operators.skew.small_side` (this module pins no
+    broadcasts — plan-audit gate).  Output is at most one row per
+    co-occurring source pair."""
+    fps = (
+        df.select(
+            F.col(source_col).cast("string").alias("source"),
+            fingerprint(F.col(text_col)).alias("fp"),
+        )
+        .filter(F.col("fp").isNotNull() & F.col("source").isNotNull())
+        .distinct()
+    )
+    sized = _with_group_size(fps, ["fp"], "_s_n")
+    if coverage_out is not None:
+        coverage_out["overlap_dropped_fps"] = (
+            sized.filter(F.col("_s_n") > max_sources_per_fp)
+            .select("fp")
+            .distinct()
+        )
+    kept = sized.filter(F.col("_s_n") <= max_sources_per_fp).select(
+        "source", "fp"
+    )
+    sizes = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = kept.withColumnRenamed("source", "source_a")
+    b = kept.withColumnRenamed("source", "source_b")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = small_side(sizes.withColumnsRenamed({"source": "source_a", "n": "n_a"}))
+    sb = small_side(sizes.withColumnsRenamed({"source": "source_b", "n": "n_b"}))
+    ratio = lambda c: F.round(c, 6).cast("decimal(10,6)").cast("string")  # noqa: E731
+    union_n = F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    return (
+        shared.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_shared",
+            ratio(F.col("n_shared") / union_n).alias("jaccard"),
+            ratio(F.col("n_shared") / F.col("n_a")).alias("frac_a_in_b"),
+            ratio(F.col("n_shared") / F.col("n_b")).alias("frac_b_in_a"),
+        )
+    )
