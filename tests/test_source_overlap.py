@@ -124,3 +124,63 @@ def test_cli_source_overlap_malformed_spec_is_argparse_error():
             ]
         )
     assert exc.value.code == 2
+
+
+# --- randomized property: Spark matrix == pure-Python brute force ------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _norm(t: str) -> str:
+    import re as _re
+
+    return _re.sub(r"\s+", " ", t.lower()).strip()
+
+
+@st.composite
+def _corpus(draw):
+    n_sources = draw(st.integers(1, 5))
+    texts = [f"t{i} body" for i in range(6)] + ["T3  BODY"]  # norm collision
+    rows = []
+    for s in range(n_sources):
+        for _ in range(draw(st.integers(0, 6))):
+            rows.append((f"s{s}", draw(st.sampled_from(texts))))
+    return rows
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_corpus())
+def test_overlap_matches_python_brute_force(spark, rows):
+    # pure-Python oracle: distinct normalized-content sets per source
+    sets: dict[str, set] = {}
+    for s, t in rows:
+        sets.setdefault(s, set()).add(_norm(t))
+    want = {}
+    srcs = sorted(sets)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                want[(a, b)] = (
+                    len(sets[a]), len(sets[b]), inter,
+                    round(inter / len(sets[a] | sets[b]), 6),
+                )
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["n_a"], r["n_b"], r["n_shared"], float(r["jaccard"])
+        )
+        for r in source_overlap_matrix(df).collect()
+    }
+    assert got.keys() == want.keys(), (rows, got, want)
+    for k, (na, nb, sh, jac) in want.items():
+        gna, gnb, gsh, gjac = got[k]
+        assert (gna, gnb, gsh) == (na, nb, sh), (k, rows)
+        assert abs(gjac - jac) < 1e-6, (k, rows)
