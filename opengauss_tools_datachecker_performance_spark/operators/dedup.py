@@ -972,9 +972,16 @@ def source_overlap_matrix(
             .select("fp")
             .distinct()
         )
-    kept = sized.filter(F.col("_s_n") <= max_sources_per_fp).select(
-        "source", "fp"
+    # persist: the (source, fp) frame feeds the size aggregate AND both
+    # sides of the pair self-join — without it each consumer re-runs
+    # the full corpus fingerprint scan (3 scans instead of 1 at 100 TB)
+    kept = (
+        sized.filter(F.col("_s_n") <= max_sources_per_fp)
+        .select("source", "fp")
+        .persist()
     )
+    if coverage_out is not None:
+        coverage_out.setdefault("persisted", []).append(kept)
     sizes = kept.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
