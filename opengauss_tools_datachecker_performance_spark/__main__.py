@@ -328,6 +328,16 @@ def build_parser() -> argparse.ArgumentParser:
              "audit_split.parquet",
     )
     p.add_argument(
+        "--status-demo", default=None, metavar="STATUS_DIR",
+        help="run the slice-status orchestration loop instead of the "
+             "batch validation: consume (slice_no, st) extract reports "
+             "from a directory of parquet files through the keyed-state "
+             "OR-register; slices reaching ready(3) are digest-diffed "
+             "(that partition only) and their checked(4) report is fed "
+             "back until done(7) — slice_verdicts.parquet + "
+             "status_demo.json; requires --sink and --checkpoint-dir",
+    )
+    p.add_argument(
         "--source-overlap", default=None,
         metavar="TABLE[:SRCCOL[:TEXTCOL]]",
         help="across-source exact-content overlap matrix (distinct-"
@@ -818,6 +828,133 @@ def _run_table_audit(spark: SparkSession, args) -> dict | None:
     return section
 
 
+def _run_status_demo(spark: SparkSession, args, docs_source, docs_sink) -> int:
+    """--status-demo: the reference's slice-status orchestration loop
+    as one streaming job (TableStatusRegister.java:1-488 +
+    TaskRegisterCenter completion scan): a stream of
+    ``(slice_no, st)`` extract reports folds through the keyed-state
+    OR-register (streaming/status_register.py,
+    ``applyInPandasWithState``); a slice whose status reaches
+    READY(3 = source|sink reported) triggers the slice check (digest
+    diff of that partition only); the check then emits the
+    CHECKED(4) report back into the SAME feed, driving the register
+    to DONE(7) — the full report→ready→check→done cycle, checkpointed.
+
+    Per status batch the register emits ≤ one row per slice (driver
+    collect is #slices-bounded, same contract as the incremental
+    checker's key cap).  Slice verdicts land in
+    ``slice_verdicts.parquet/batch=<id>`` subdirs (idempotent under
+    replays); the final registry + verdicts summarize into
+    status_demo.json.  Exit 1 when any checked slice has diffs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opengauss_tools_datachecker_performance_spark.operators.diff import diff_docs
+    from opengauss_tools_datachecker_performance_spark.streaming.status_register import (
+        track_slice_status,
+    )
+
+    part_col = args.partition_col
+    state: dict = {"statuses": {}, "checked": set(), "n_failed": 0}
+    checked_seq = iter(range(10**6))
+
+    def on_batch(batch_df, batch_id: int) -> None:
+        rows = batch_df.collect()  # ≤ one row per slice per batch
+        for r in rows:
+            state["statuses"][int(r["slice_no"])] = int(r["status"])
+        ready = sorted(
+            int(r["slice_no"])
+            for r in rows
+            if r["ready_for_check"] and int(r["slice_no"]) not in state["checked"]
+        )
+        if not ready:
+            return
+        state["checked"].update(ready)
+        src = docs_source.filter(F.col(part_col).isin(ready))
+        snk = docs_sink.filter(F.col(part_col).isin(ready))
+        # attribute diff keys back to their slice via the key→part maps
+        # (distinct-collapsed before the join; diff output is key-level)
+        keymap = (
+            src.select(F.col("doc_id").cast("string").alias("key"), F.col(part_col).alias("_part"))
+            .unionByName(
+                snk.select(
+                    F.col("doc_id").cast("string").alias("key"),
+                    F.col(part_col).alias("_part"),
+                )
+            )
+            .distinct()
+        )
+        diffs = diff_docs(src, snk, two_phase=False)
+        per_slice = {
+            int(r["_part"]): int(r["n"])
+            for r in diffs.join(keymap, "key")
+            .groupBy("_part")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        verdicts = [
+            (s, per_slice.get(s, 0), "failed" if per_slice.get(s, 0) else "passed",
+             int(batch_id))
+            for s in ready
+        ]
+        state["n_failed"] += sum(1 for v in verdicts if v[2] == "failed")
+        spark.createDataFrame(
+            verdicts, "slice_no int, n_diffs long, verdict string, batch_id long"
+        ).write.mode("overwrite").parquet(
+            os.path.join(
+                args.report_dir, "slice_verdicts.parquet", f"batch={batch_id}"
+            )
+        )
+        # report CHECKED back into the feed → register advances to DONE
+        pq.write_table(
+            pa.table(
+                {
+                    "slice_no": pa.array(ready, type=pa.int32()),
+                    "st": pa.array([4] * len(ready), type=pa.int32()),
+                }
+            ),
+            os.path.join(args.status_demo, f"checked_{next(checked_seq)}.parquet"),
+        )
+
+    stream = (
+        spark.readStream.schema("slice_no int, st int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(args.status_demo)
+    )
+    query = (
+        track_slice_status(stream)
+        .writeStream.foreachBatch(on_batch)
+        .outputMode("update")  # required by applyInPandasWithState
+        .option("checkpointLocation", os.path.join(args.checkpoint_dir, "status_demo"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        # the check's own CHECKED reports create new feed files, so one
+        # drain is not quiescence — drain until no new slice was checked
+        while True:
+            before = len(state["checked"])
+            query.processAllAvailable()
+            if len(state["checked"]) == before:
+                break
+    finally:
+        query.stop()
+    summary = {
+        "status_feed": args.status_demo,
+        "slice_status": {str(k): v for k, v in sorted(state["statuses"].items())},
+        "n_checked": len(state["checked"]),
+        "n_failed_slices": state["n_failed"],
+    }
+    os.makedirs(args.report_dir, exist_ok=True)
+    with open(os.path.join(args.report_dir, "status_demo.json"), "w") as fh:
+        json.dump(summary, fh, indent=2, sort_keys=True)
+    print(
+        f"[status-demo] {len(state['checked'])} slices checked, "
+        f"{state['n_failed']} failed; registry: {summary['slice_status']}"
+    )
+    return 1 if state["n_failed"] else 0
+
+
 def _run_streaming_demo(spark: SparkSession, args, docs_source, docs_sink) -> int:
     """--streaming-demo: the reference's incremental lifecycle as ONE
     running Structured-Streaming job (IncrementCheckThread.java:140-232
@@ -1114,6 +1251,13 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         )
     if args.token_budget and not args.lm_surprisal:
         parser.error("--token-budget requires --lm-surprisal (the score source)")
+    if args.streaming_demo and args.status_demo:
+        parser.error("--streaming-demo and --status-demo are exclusive modes")
+    if args.status_demo and (not args.sink or not args.checkpoint_dir):
+        parser.error(
+            "--status-demo requires --sink (the diff target) and "
+            "--checkpoint-dir (the stream's progress checkpoint)"
+        )
     if args.streaming_demo:
         if not args.sink or not args.checkpoint_dir:
             parser.error(
@@ -1204,6 +1348,13 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     if args.streaming_demo:
         try:
             return _run_streaming_demo(spark, args, docs_source, docs_sink)
+        finally:
+            if own_session:
+                spark.stop()
+
+    if args.status_demo:
+        try:
+            return _run_status_demo(spark, args, docs_source, docs_sink)
         finally:
             if own_session:
                 spark.stop()

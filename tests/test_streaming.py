@@ -434,3 +434,78 @@ def test_streaming_demo_malformed_kafka_uri_is_argparse_error():
             ]
         )
     assert exc.value.code == 2
+
+
+def test_status_demo_full_orchestration_cycle(corpus, spark, tmp_path):
+    """--status-demo: report → ready → check → done, end to end.
+    Slice 0 receives source(1)+sink(2) reports in separate files →
+    READY fires the slice check → the demo's own CHECKED(4) report
+    drives the register to DONE(7). Slice 1 receives only source(1)
+    and must stay pending, unchecked."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opengauss_tools_datachecker_performance_spark.__main__ import main
+
+    src, sink = corpus["docs_source"], corpus["docs_sink"]
+    src_path = str(tmp_path / "src.parquet")
+    sink_path = str(tmp_path / "sink.parquet")
+    src.write.mode("overwrite").parquet(src_path)
+    sink.write.mode("overwrite").parquet(sink_path)
+    feed = tmp_path / "status"
+    feed.mkdir()
+
+    def drop(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "slice_no": pa.array([r[0] for r in rows], type=pa.int32()),
+                    "st": pa.array([r[1] for r in rows], type=pa.int32()),
+                }
+            ),
+            str(feed / name),
+        )
+
+    drop("e0.parquet", [(0, 1), (1, 1)])  # source extracts reported
+    drop("e1.parquet", [(0, 2)])  # sink extract for slice 0 only
+    out_dir = tmp_path / "out"
+    rc = main(
+        [
+            "--source", src_path,
+            "--sink", sink_path,
+            "--report-dir", str(out_dir),
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+            "--status-demo", str(feed),
+        ],
+        spark=spark,
+    )
+    summary = json.load(open(out_dir / "status_demo.json"))
+    # slice 0 completed the full cycle; slice 1 never left source-reported
+    assert summary["slice_status"]["0"] == 7
+    assert summary["slice_status"]["1"] == 1
+    assert summary["n_checked"] == 1
+    verdicts = spark.read.parquet(
+        str(out_dir / "slice_verdicts.parquet")
+    ).collect()
+    assert [r["slice_no"] for r in verdicts] == [0]
+    # the seeded corpus plants violations in every partition → the
+    # checked slice must fail and the exit code must say so
+    assert verdicts[0]["verdict"] == "failed" and rc == 1
+
+
+def test_status_demo_requires_sink_and_checkpoint():
+    import pytest as _pytest
+
+    from opengauss_tools_datachecker_performance_spark.__main__ import main
+
+    with _pytest.raises(SystemExit) as exc:
+        main(
+            [
+                "--source", "s.parquet",
+                "--report-dir", "out",
+                "--status-demo", "status/",
+            ]
+        )
+    assert exc.value.code == 2
